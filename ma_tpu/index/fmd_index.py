@@ -133,23 +133,19 @@ class FMDIndex:
             return np.zeros(4, dtype=np.int64)
         k = k - (1 if k >= self.primary else 0)
         b, off = divmod(k, OCC_INTERVAL)
-        cnt = self.occ_cp[b].copy()
-        # count within block up to offset `off` inclusive
-        words = self.bwt_words[b]
-        for c in range(4):
-            pat = np.uint32(c * 0x55555555)
-            y = words ^ pat
-            z = (~y) & ((~y) >> np.uint32(1)) & np.uint32(0x55555555)
-            # mask positions > off
-            for w in range(WORDS_PER_BLOCK):
-                lo = w * 16
-                keep = min(max(off + 1 - lo, 0), 16)
-                if keep < 16:
-                    z[w] &= np.uint32((1 << (2 * keep)) - 1) if keep > 0 else np.uint32(0)
-            cnt[c] += int(bin(int(z[0])).count("1")) + sum(
-                bin(int(z[w])).count("1") for w in range(1, WORDS_PER_BLOCK)
-            )
-        return cnt
+        words = self.bwt_words[b]  # [8] uint32
+        # inclusive crumb masks per word
+        keep = np.clip(off + 1 - 16 * np.arange(WORDS_PER_BLOCK), 0, 16)
+        masks = np.where(
+            keep >= 16,
+            np.uint32(0xFFFFFFFF),
+            (np.uint32(1) << (2 * np.minimum(keep, 15)).astype(np.uint32)) - np.uint32(1),
+        ).astype(np.uint32)
+        pats = (np.arange(4, dtype=np.uint32) * np.uint32(0x55555555))[:, None]
+        y = words[None, :] ^ pats  # [4, 8]
+        z = (~y) & ((~y) >> np.uint32(1)) & np.uint32(0x55555555)
+        incnt = np.bitwise_count(z & masks[None, :]).sum(axis=1)
+        return self.occ_cp[b] + incnt.astype(np.int64)
 
     # ------------------------------------------------- FMD interval algebra
     def init_interval(self, c: int) -> Tuple[int, int, int]:
