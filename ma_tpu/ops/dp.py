@@ -1,0 +1,273 @@
+"""Banded 2-piece affine-gap dynamic programming (the kswcpp equivalent).
+
+TPU re-design of the reference DP kernel
+(reference: libs/kswcpp/ — ksw2-style anti-diagonal banded DP with 2-piece
+affine gaps and z-drop, kswcpp_core.h:1-879; scoring matrix semantics from
+KswCppParam: match/mismatch over A,C,G,T and 0 vs N, kswcpp.h:44-129).
+
+Formulation: wavefront scan over anti-diagonals d = i + j. Cell (i, j)
+depends only on diagonals d-1 (gap continuations) and d-2 (match), so each
+scan step is pure vector work of width M with NO intra-step dependency —
+this is the same dataflow the reference vectorizes with SSE/AVX2 and maps
+directly onto the TPU VPU (a Pallas version lives in dp_pallas.py).
+
+Outputs a per-cell direction byte for host-side traceback:
+    bits 0..2: source of H (0=diag/match, 1=E1, 2=F1, 3=E2, 4=F2)
+    bit 3/4/5/6: E1/F1/E2/F2 continuation (gap extends rather than opens)
+E gaps consume the reference (CIGAR 'D'), F gaps consume the query ('I').
+
+i indexes the query (length m <= M), j the reference (length n <= N).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = jnp.int32(-(2**30))
+
+# direction byte layout
+SRC_MASK = 0x07
+SRC_DIAG, SRC_E1, SRC_F1, SRC_E2, SRC_F2 = 0, 1, 2, 3, 4
+CONT_E1, CONT_F1, CONT_E2, CONT_F2 = 0x08, 0x10, 0x20, 0x40
+
+
+class DPParams(NamedTuple):
+    match: int = 2
+    mismatch: int = 4  # positive penalty
+    gap_open: int = 4
+    gap_extend: int = 2
+    gap_open2: int = 24
+    gap_extend2: int = 1
+
+
+class DPResult(NamedTuple):
+    dirs: jax.Array  # uint8 [P, M+N-1, M] direction bytes per (diagonal, i)
+    score: jax.Array  # int32 [P] — global: H(m-1,n-1); extension: max-cell H
+    max_i: jax.Array  # int32 [P] max cell query index (extension)
+    max_j: jax.Array  # int32 [P] max cell ref index
+    zdropped: jax.Array  # bool [P]
+
+
+def _score_cell(qc, tc, match, mismatch):
+    """Score of aligning codes qc vs tc: match/-mismatch; 0 if either is N
+    (KswCppParam::fillScoringMatrix, kswcpp.h:85-96)."""
+    is_n = (qc >= 4) | (tc >= 4)
+    return jnp.where(is_n, 0, jnp.where(qc == tc, match, -mismatch)).astype(jnp.int32)
+
+
+def banded_align(
+    q: jax.Array,  # int32/uint8 [P, M] query codes
+    t: jax.Array,  # int32/uint8 [P, N] ref codes
+    qlen: jax.Array,  # int32 [P]
+    tlen: jax.Array,  # int32 [P]
+    band: jax.Array,  # int32 [P] band width w: cells with |i-j| > w skipped
+    params: DPParams = DPParams(),
+    zdrop: int = -1,  # <0 disables (global mode)
+    is_global: bool = True,
+) -> DPResult:
+    """Batched banded 2-piece affine DP. See module docstring."""
+    q = jnp.asarray(q, jnp.int32)
+    t = jnp.asarray(t, jnp.int32)
+    P, M = q.shape
+    N = t.shape[1]
+    D = M + N - 1
+    qlen = jnp.asarray(qlen, jnp.int32)
+    tlen = jnp.asarray(tlen, jnp.int32)
+    band = jnp.asarray(band, jnp.int32)
+
+    go1, ge1 = params.gap_open, params.gap_extend
+    go2, ge2 = params.gap_open2, params.gap_extend2
+
+    def gap_cost(k):  # best cost of a length-k gap (k >= 1), negative
+        return jnp.maximum(-(go1 + k * ge1), -(go2 + k * ge2)).astype(jnp.int32)
+
+    ii = jnp.arange(M, dtype=jnp.int32)  # query index lane
+
+    def one(qv, tv, m, n, w):
+        def step(carry, d):
+            h1, h2, e1, e2, f1, f2, gmax, gi, gj, scr, dropped = carry
+            jv = d - ii  # ref index per lane
+            valid = (ii < m) & (jv >= 0) & (jv < n) & (jnp.abs(ii - jv) <= w)
+
+            # ---- E (ref gap, from (i, j-1) on diag d-1)
+            h_left = jnp.where(jv > 0, h1, jnp.where(ii > 0, gap_cost(ii), NEG_INF))
+            # h_left at j==0 is virtual column H(i,-1); at i==j==0 -> 0? ksw2
+            # anchors (0,0) via diag; opening from H(0,-1)=gap_cost not 0:
+            ne1 = jnp.maximum(h_left - (go1 + ge1), jnp.where(jv > 0, e1 - ge1, NEG_INF))
+            ne2 = jnp.maximum(h_left - (go2 + ge2), jnp.where(jv > 0, e2 - ge2, NEG_INF))
+            ce1 = jnp.where(jv > 0, e1 - ge1, NEG_INF) >= h_left - (go1 + ge1)
+            ce2 = jnp.where(jv > 0, e2 - ge2, NEG_INF) >= h_left - (go2 + ge2)
+
+            # ---- F (query gap, from (i-1, j) on diag d-1)
+            h_up_s = jnp.concatenate([jnp.full((1,), NEG_INF), h1[:-1]])
+            f1_s = jnp.concatenate([jnp.full((1,), NEG_INF), f1[:-1]])
+            f2_s = jnp.concatenate([jnp.full((1,), NEG_INF), f2[:-1]])
+            h_up = jnp.where(ii > 0, h_up_s, jnp.where(jv > 0, gap_cost(jv), NEG_INF))
+            nf1 = jnp.maximum(h_up - (go1 + ge1), jnp.where(ii > 0, f1_s - ge1, NEG_INF))
+            nf2 = jnp.maximum(h_up - (go2 + ge2), jnp.where(ii > 0, f2_s - ge2, NEG_INF))
+            cf1 = jnp.where(ii > 0, f1_s - ge1, NEG_INF) >= h_up - (go1 + ge1)
+            cf2 = jnp.where(ii > 0, f2_s - ge2, NEG_INF) >= h_up - (go2 + ge2)
+
+            # ---- diagonal (from (i-1, j-1) on diag d-2)
+            h_diag_s = jnp.concatenate([jnp.full((1,), NEG_INF), h2[:-1]])
+            diag_prev = jnp.where(
+                (ii > 0) & (jv > 0),
+                h_diag_s,
+                jnp.where(
+                    (ii == 0) & (jv == 0),
+                    0,
+                    jnp.where(ii == 0, gap_cost(jv), gap_cost(ii)),
+                ),
+            )
+            tc = tv[jnp.clip(jv, 0, N - 1)]
+            sc = _score_cell(qv, tc, params.match, params.mismatch)
+            hd = diag_prev + sc
+
+            # ---- combine (preference order on ties: diag, E1, F1, E2, F2 —
+            # matches the reference's backtrack bit priority, kswcpp_core.h:68-71)
+            h = hd
+            src = jnp.zeros(M, jnp.int32)
+            for cand, code in ((ne1, SRC_E1), (nf1, SRC_F1), (ne2, SRC_E2), (nf2, SRC_F2)):
+                better = cand > h
+                h = jnp.maximum(h, cand)
+                src = jnp.where(better, code, src)
+            h = jnp.where(valid, h, NEG_INF)
+
+            dirbyte = (
+                src
+                | jnp.where(ce1, CONT_E1, 0)
+                | jnp.where(cf1, CONT_F1, 0)
+                | jnp.where(ce2, CONT_E2, 0)
+                | jnp.where(cf2, CONT_F2, 0)
+            ).astype(jnp.uint8)
+
+            # ---- bookkeeping: global end cell / extension max / z-drop
+            end_here = valid & (ii == m - 1) & (jv == n - 1)
+            scr = jnp.where(jnp.any(end_here), jnp.max(jnp.where(end_here, h, NEG_INF)), scr)
+
+            hm = jnp.where(valid & ~dropped, h, NEG_INF)
+            dmax = jnp.max(hm)
+            darg = jnp.argmax(hm).astype(jnp.int32)
+            upd = (dmax > gmax) & ~dropped
+            gmax = jnp.where(upd, dmax, gmax)
+            gi = jnp.where(upd, darg, gi)
+            gj = jnp.where(upd, d - darg, gj)
+            if zdrop >= 0:
+                di = darg - gi
+                dj = (d - darg) - gj
+                diff = jnp.abs(di - dj)
+                has = jnp.any(valid) & (gi >= 0)
+                dropped = dropped | (
+                    has & (gmax - dmax > zdrop + diff.astype(jnp.int32) * ge1)
+                )
+
+            return (h, h1, ne1, ne2, nf1, nf2, gmax, gi, gj, scr, dropped), dirbyte
+
+        init = (
+            jnp.full((M,), NEG_INF),  # h1 (diag d-1)
+            jnp.full((M,), NEG_INF),  # h2 (diag d-2)
+            jnp.full((M,), NEG_INF),  # e1
+            jnp.full((M,), NEG_INF),  # e2
+            jnp.full((M,), NEG_INF),  # f1
+            jnp.full((M,), NEG_INF),  # f2
+            # extension mode mirrors ksw2: max starts at 0 with cell (-1,-1)
+            # so an all-negative extension aligns nothing (ksw2 reset_extz)
+            NEG_INF if is_global else jnp.int32(0),  # gmax
+            jnp.int32(-1),
+            jnp.int32(-1),
+            NEG_INF,  # global score
+            jnp.asarray(False),
+        )
+        (h, _, _, _, _, _, gmax, gi, gj, scr, dropped), dirs = jax.lax.scan(
+            step, init, jnp.arange(D, dtype=jnp.int32)
+        )
+        return dirs, scr, gmax, gi, gj, dropped
+
+    dirs, scr, gmax, gi, gj, dropped = jax.vmap(one)(q, t, qlen, tlen, band)
+    score = scr if is_global else gmax
+    return DPResult(dirs=dirs, score=score, max_i=gi, max_j=gj, zdropped=dropped)
+
+
+# --------------------------------------------------------------------- host
+# CIGAR op codes (SAM): 0=M 1=I 2=D
+OP_M, OP_I, OP_D = 0, 1, 2
+
+
+def traceback_one(dirs: np.ndarray, si: int, sj: int) -> list[tuple[int, int]]:
+    """Host traceback from cell (si, sj) back to (0, 0)-anchored start.
+
+    dirs: [D, M] direction bytes for one problem. Returns CIGAR as
+    [(op, length)] in forward order. Leading gaps (paths entering the
+    virtual row/column) are emitted as leading D/I runs.
+    """
+    ops: list[int] = []
+    i, j = si, sj
+    while i >= 0 and j >= 0:
+        byte = int(dirs[i + j, i])
+        src = byte & SRC_MASK
+        if src == SRC_DIAG:
+            ops.append(OP_M)
+            i -= 1
+            j -= 1
+        elif src in (SRC_E1, SRC_E2):
+            cont_bit = CONT_E1 if src == SRC_E1 else CONT_E2
+            while j >= 0:
+                byte = int(dirs[i + j, i])
+                ops.append(OP_D)
+                cont = byte & cont_bit
+                j -= 1
+                if not cont:
+                    break
+        else:  # F1 / F2
+            cont_bit = CONT_F1 if src == SRC_F1 else CONT_F2
+            while i >= 0:
+                byte = int(dirs[i + j, i])
+                ops.append(OP_I)
+                cont = byte & cont_bit
+                i -= 1
+                if not cont:
+                    break
+    # leading gaps through the virtual row/column
+    if i >= 0:
+        ops.extend([OP_I] * (i + 1))
+    if j >= 0:
+        ops.extend([OP_D] * (j + 1))
+    ops.reverse()
+    # run-length encode
+    cigar: list[tuple[int, int]] = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + 1)
+        else:
+            cigar.append((op, 1))
+    return cigar
+
+
+def cigar_score(
+    cigar, q: np.ndarray, t: np.ndarray, params: DPParams = DPParams()
+) -> int:
+    """Recompute the DP score of a CIGAR (test helper)."""
+    s, i, j = 0, 0, 0
+    for op, ln in cigar:
+        if op == OP_M:
+            for k in range(ln):
+                if q[i + k] >= 4 or t[j + k] >= 4:
+                    pass  # N scores 0
+                elif q[i + k] == t[j + k]:
+                    s += params.match
+                else:
+                    s -= params.mismatch
+            i += ln
+            j += ln
+        elif op == OP_I:
+            s -= min(params.gap_open + ln * params.gap_extend,
+                     params.gap_open2 + ln * params.gap_extend2)
+            i += ln
+        else:
+            s -= min(params.gap_open + ln * params.gap_extend,
+                     params.gap_open2 + ln * params.gap_extend2)
+            j += ln
+    return s

@@ -1,0 +1,406 @@
+"""Alignment assembly: chain harmonized seeds, fill gaps and extend ends
+with batched device DP.
+
+Host orchestration of the reference NeedlemanWunsch module
+(reference: libs/ma/src/module/needlemanWunsch.cpp execute_one:625-905,
+dynPrg:499-623, ksw:82-169, ksw_dual_ext:239-498):
+
+* per harmonized seed set: reference window = seed span +- Padding, clamped
+  to the owning contig/strand segment (execute_one:710-765)
+* gaps <= Maximal Gap Size  -> banded global DP
+  (band = max(minBand, |dt-dq|+10), ksw_simplified:60-79)
+* larger gaps -> dual z-drop extension meeting in the middle (ksw_dual_ext)
+* read ends -> one-sided z-drop extension (band 512), left end via
+  reversed sequences (dynPrg:544-623)
+* seeds appended as SEED runs with the overlap trimming rules
+  (execute_one:805-855), then removeDangeling
+
+All DP sub-problems across the whole read batch are collected first,
+bucketed by padded shape, solved in a few batched device calls
+(ma_tpu.ops.dp.banded_align), and traced back on host — the device does
+the O(band x len) work, the host the O(path) CIGAR assembly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ma_tpu.containers.alignment import (
+    Alignment,
+    DELETION,
+    INSERTION,
+    MATCH,
+    MISMATCH,
+    SEED,
+)
+from ma_tpu.containers.pack import Pack
+from ma_tpu.ops.dp import DPParams, banded_align, traceback_one, OP_M, OP_I, OP_D
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+@dataclasses.dataclass
+class DPProblem:
+    q: np.ndarray  # query segment codes (already reversed for rev extensions)
+    t: np.ndarray  # ref segment codes
+    band: int
+    is_global: bool
+    # results (filled by _run_batches)
+    cigar: Optional[List[Tuple[int, int]]] = None
+    max_i: int = -1  # extension: last aligned query index (inclusive)
+    max_j: int = -1
+
+
+class NWConfig:
+    def __init__(self, pset=None, glob=None):
+        get = (lambda n: pset.get(n)) if pset is not None else (lambda n: None)
+        self.padding = get("Padding") or 1000
+        self.band_ext = get("Bandwidth for Extensions") or 512
+        self.min_band_gap = get("Minimal Bandwidth in Gaps") or 20
+        self.zdrop = get("Z Drop") or 200
+        self.max_gap_area = get("Maximal Gap Size") or 20
+        self.params = DPParams(
+            match=get("Match Score") or 2,
+            mismatch=get("Mismatch Penalty") or 4,
+            gap_open=get("Gap penalty") or 4,
+            gap_extend=get("Extend Penalty") or 2,
+            gap_open2=get("Second Gap Penalty") or 24,
+            gap_extend2=get("Second Extend Penalty") or 1,
+        )
+        self.sv_penalty = 100
+
+
+def _contig_segment(pack: Pack, pos: int) -> Tuple[int, int]:
+    """[lo, hi) of the strand-aware contig segment containing pos in [0,2L)
+    (startOfSequenceWithIdOrReverse semantics)."""
+    L = pack.unpacked_size_forward_strand
+    c = int(pack.seq_id_for_position(pos))
+    lo = int(pack.starts[c])
+    hi = lo + int(pack.lengths[c])
+    if pos >= L:
+        lo, hi = 2 * L - hi, 2 * L - lo
+    return lo, hi
+
+
+class NWAligner:
+    """Batched gap-filling / extension DP for harmonized seed sets."""
+
+    def __init__(self, pack: Pack, config: NWConfig | None = None):
+        self.pack = pack
+        self.cfg = config or NWConfig()
+        self._problems: List[DPProblem] = []
+
+    # ------------------------------------------------------------- planning
+    def _new_problem(self, q, t, band, is_global) -> int:
+        self._problems.append(
+            DPProblem(q=np.asarray(q, np.uint8), t=np.asarray(t, np.uint8),
+                      band=int(band), is_global=is_global)
+        )
+        return len(self._problems) - 1
+
+    def _plan_dyn_prg(self, plan, query, ref, fq, tq, fr, tr, local_begin, local_end):
+        """dynPrg (needlemanWunsch.cpp:499-543): emit plan tokens."""
+        cfg = self.cfg
+        if tr <= fr and tq <= fq:
+            return
+        if tq <= fq:
+            plan.append(("op", DELETION, tr - fr))
+            return
+        if tr <= fr:
+            plan.append(("op", INSERTION, tq - fq))
+            return
+        if not local_begin and not local_end:
+            if tq - fq > cfg.max_gap_area or tr - fr > cfg.max_gap_area:
+                # dual z-drop extension (ksw_dual_ext)
+                pl = self._new_problem(
+                    query[fq:tq], ref[fr:tr], cfg.band_ext, is_global=False
+                )
+                pr = self._new_problem(
+                    query[fq:tq][::-1], ref[fr:tr][::-1], cfg.band_ext, is_global=False
+                )
+                plan.append(("dual", pl, pr, fq, tq, fr, tr))
+            else:
+                w = cfg.min_band_gap
+                if abs((tr - fr) - (tq - fq)) + 10 > w:
+                    w = abs((tr - fr) - (tq - fq)) + 10
+                p = self._new_problem(query[fq:tq], ref[fr:tr], w, is_global=True)
+                plan.append(("global", p, fq, tq, fr, tr))
+            return
+        # one-sided extension
+        rev = local_begin
+        qseg = query[fq:tq][::-1] if rev else query[fq:tq]
+        tseg = ref[fr:tr][::-1] if rev else ref[fr:tr]
+        p = self._new_problem(qseg, tseg, cfg.band_ext, is_global=False)
+        plan.append(("ext", p, rev, fq, tq, fr, tr))
+
+    def plan_set(self, query: np.ndarray, seeds: Sequence[Tuple[int, int, int]]):
+        """Plan one harmonized seed set -> (plan tokens, begin_ref) or None.
+
+        seeds: [(q_start, length, ref_start_text)] non-empty, any order;
+        sorted here by (ref, q) like harmonizeOne's output ordering.
+        """
+        cfg = self.cfg
+        pack = self.pack
+        qlen = len(query)
+        seeds = sorted((s for s in seeds if s[1] > 0), key=lambda s: (s[2], s[0]))
+        if not seeds:
+            return None
+        begin_ref = min(s[2] for s in seeds)
+        end_ref = max(s[2] + s[1] for s in seeds)
+        if begin_ref >= end_ref or pack.bridging(begin_ref, end_ref + 1):
+            return None
+        # pad + clamp to contig segment (execute_one:710-765)
+        old_lo, old_hi = _contig_segment(pack, begin_ref)
+        begin_ref = max(begin_ref - cfg.padding, 0)
+        end_ref = min(end_ref + cfg.padding, pack.unpacked_size_forward_plus_reverse - 1)
+        begin_ref = max(begin_ref, old_lo)
+        if end_ref > old_hi - 1:
+            end_ref = old_hi - 1
+        ref = pack.extract(begin_ref, end_ref)
+
+        plan: List[tuple] = []
+        front = seeds[0]
+        # left end extension
+        self._plan_dyn_prg(plan, query, ref, 0, front[0], 0, front[2] - begin_ref,
+                           True, False)
+        plan.append(("op", SEED, front[1]))
+        last_q = front[0] + front[1]
+        last_r = front[2] + front[1] - begin_ref
+        for (sq, sl, sr) in seeds[1:]:
+            if sl == 0:
+                continue
+            ov_q = last_q - sq if sq <= last_q else 0
+            ov_r = last_r - (sr - begin_ref) if sr - begin_ref <= last_r else 0
+            overlap = max(ov_q, ov_r)
+            if sl > overlap:
+                self._plan_dyn_prg(plan, query, ref, last_q, sq, last_r,
+                                   sr - begin_ref, False, False)
+                if ov_q > ov_r:
+                    plan.append(("op", DELETION, ov_q - ov_r))
+                if ov_r > ov_q:
+                    plan.append(("op", INSERTION, ov_r - ov_q))
+                plan.append(("op", SEED, sl - overlap))
+                if sq + sl > last_q:
+                    last_q = sq + sl
+                if sr + sl - begin_ref > last_r:
+                    last_r = sr + sl - begin_ref
+        # right end extension (note the reference's endQuery-1 / endRef-1)
+        self._plan_dyn_prg(plan, query, ref, last_q, qlen - 1, last_r,
+                           end_ref - begin_ref - 1, False, True)
+        return plan, begin_ref, ref
+
+    # ------------------------------------------------------------ execution
+    def run_batches(self):
+        """Solve all planned DP problems with bucketed device calls."""
+        cfg = self.cfg
+        buckets: Dict[tuple, List[int]] = {}
+        for i, p in enumerate(self._problems):
+            key = (
+                _next_pow2(max(len(p.q), 1)),
+                _next_pow2(max(len(p.t), 1)),
+                p.is_global,
+            )
+            buckets.setdefault(key, []).append(i)
+        for (M, N, is_global), idxs in buckets.items():
+            P = len(idxs)
+            qa = np.full((P, M), 4, np.uint8)
+            ta = np.full((P, N), 4, np.uint8)
+            qlen = np.zeros(P, np.int32)
+            tlen = np.zeros(P, np.int32)
+            band = np.zeros(P, np.int32)
+            for k, i in enumerate(idxs):
+                p = self._problems[i]
+                qa[k, : len(p.q)] = p.q
+                ta[k, : len(p.t)] = p.t
+                qlen[k], tlen[k], band[k] = len(p.q), len(p.t), p.band
+            res = banded_align(
+                jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(qlen),
+                jnp.asarray(tlen), jnp.asarray(band), cfg.params,
+                zdrop=-1 if is_global else cfg.zdrop, is_global=is_global,
+            )
+            dirs = np.asarray(res.dirs)
+            max_i = np.asarray(res.max_i)
+            max_j = np.asarray(res.max_j)
+            for k, i in enumerate(idxs):
+                p = self._problems[i]
+                if is_global:
+                    p.cigar = traceback_one(dirs[k], len(p.q) - 1, len(p.t) - 1)
+                    p.max_i, p.max_j = len(p.q) - 1, len(p.t) - 1
+                else:
+                    p.max_i, p.max_j = int(max_i[k]), int(max_j[k])
+                    if p.max_i >= 0:
+                        p.cigar = traceback_one(dirs[k], p.max_i, p.max_j)
+                    else:
+                        p.cigar = []
+
+    # ------------------------------------------------------------- assembly
+    def _append_cigar(self, aln: Alignment, cigar, query, ref, qpos, rpos):
+        for op, ln in cigar:
+            if op == OP_M:
+                for k in range(ln):
+                    if query[qpos + k] == ref[rpos + k] and query[qpos + k] < 4:
+                        aln.append(MATCH, 1)
+                    else:
+                        aln.append(MISMATCH, 1)
+                qpos += ln
+                rpos += ln
+            elif op == OP_I:
+                aln.append(INSERTION, ln)
+                qpos += ln
+            else:
+                aln.append(DELETION, ln)
+                rpos += ln
+        return qpos, rpos
+
+    def assemble(self, plan, begin_ref: int, ref: np.ndarray, query: np.ndarray) -> Alignment:
+        """Build the Alignment from plan tokens + solved problems."""
+        cfg = self.cfg
+        aln = Alignment(
+            begin_on_ref=begin_ref, begin_on_query=0,
+            match=cfg.params.match, mismatch=cfg.params.mismatch,
+            gap=cfg.params.gap_open, extend=cfg.params.gap_extend,
+            sv_penalty=cfg.sv_penalty,
+        )
+        started = False  # until the left extension anchors the start
+        for tok in plan:
+            kind = tok[0]
+            if kind == "op":
+                _, op, ln = tok
+                aln.append(op, ln)
+            elif kind == "global":
+                _, pi, fq, tq, fr, tr = tok
+                p = self._problems[pi]
+                qpos, rpos = self._append_cigar(aln, p.cigar, query, ref, fq, fr)
+                # ksw may stop short: pad remainder (needlemanWunsch.cpp:163-169)
+                aln.append(DELETION, tq - qpos)  # note: reference swaps these
+                aln.append(INSERTION, tr - rpos)  # names; lengths are 0 normally
+            elif kind == "ext":
+                _, pi, rev, fq, tq, fr, tr = tok
+                p = self._problems[pi]
+                if rev:
+                    # reverse extension: cigar is for reversed segments;
+                    # un-reverse and shift the alignment start
+                    # (dynPrg:585-620 shiftOnRef/shiftOnQuery)
+                    q0 = tq - p.max_i - 1
+                    r0 = tr - p.max_j - 1
+                    aln.begin_on_query = q0
+                    aln.end_on_query = q0
+                    aln.begin_on_ref = begin_ref + r0
+                    aln.end_on_ref = begin_ref + r0
+                    self._append_cigar(aln, list(reversed(p.cigar)), query, ref, q0, r0)
+                    started = True
+                else:
+                    self._append_cigar(aln, p.cigar, query, ref, fq, fr)
+            elif kind == "dual":
+                self._assemble_dual(aln, tok, query, ref)
+        aln.remove_dangeling()
+        return aln
+
+    def _assemble_dual(self, aln: Alignment, tok, query, ref):
+        """Stitch dual extension results (ksw_dual_ext:239-498)."""
+        _, pl, pr, fq, tq, fr, tr = tok
+        L = self._problems[pl]
+        R = self._problems[pr]
+        q_center = (fq + L.max_i + (tq - R.max_i - 1)) // 2
+        q_center = max(fq, min(tq, q_center))
+        r_center = (fr + L.max_j + (tr - R.max_j - 1)) // 2
+        r_center = max(fr, min(tr, r_center))
+
+        qpos, rpos = fq, fr
+        if rpos != r_center and qpos != q_center:
+            for op, ln in L.cigar:
+                if op == OP_M:
+                    ln = min(ln, q_center - qpos, r_center - rpos)
+                    self._append_cigar(aln, [(OP_M, ln)], query, ref, qpos, rpos)
+                    qpos += ln
+                    rpos += ln
+                elif op == OP_I:
+                    ln = min(ln, q_center - qpos)
+                    aln.append(INSERTION, ln)
+                    qpos += ln
+                else:
+                    ln = min(ln, r_center - rpos)
+                    aln.append(DELETION, ln)
+                    rpos += ln
+                if rpos == r_center or qpos == q_center:
+                    break
+        # right side: skip cigar ops until past both centers
+        r_start_q = tq - R.max_i - 1
+        r_start_r = tr - R.max_j - 1
+        rq, rr = r_start_q, r_start_r
+        rc = [(op, ln) for op, ln in reversed(R.cigar)]  # forward order
+        consumed: List[Tuple[int, int]] = []
+        i = 0
+        pending = None  # partially-unrolled op
+        while i < len(rc):
+            if rr >= r_center and rq >= q_center:
+                break
+            op, ln = rc[i]
+            if op == OP_M:
+                if rr + ln >= r_center and rq + ln >= q_center:
+                    if rr < r_center and (rq >= q_center or r_center - rr > q_center - rq):
+                        cut = r_center - rr
+                    else:
+                        cut = q_center - rq
+                    pending = (op, ln - cut)
+                    rq += cut
+                    rr += cut
+                    i += 1
+                    break
+                rq += ln
+                rr += ln
+            elif op == OP_I:
+                if rq + ln > q_center and rr >= r_center:
+                    cut = q_center - rq
+                    pending = (op, ln - cut)
+                    rq += cut
+                    i += 1
+                    break
+                rq += ln
+            else:
+                if rr + ln > r_center and rq >= q_center:
+                    cut = r_center - rr
+                    pending = (op, ln - cut)
+                    rr += cut
+                    i += 1
+                    break
+                rr += ln
+            i += 1
+        # fill the middle hole with D then I (ksw_dual_ext middle fill)
+        if rr > rpos:
+            aln.append(DELETION, rr - rpos)
+        if rq > qpos:
+            aln.append(INSERTION, rq - qpos)
+        # emit the partially unrolled op then the rest
+        if pending is not None and pending[1] > 0:
+            op, ln = pending
+            if op == OP_M:
+                self._append_cigar(aln, [(OP_M, ln)], query, ref, rq, rr)
+                rq += ln
+                rr += ln
+            elif op == OP_I:
+                aln.append(INSERTION, ln)
+                rq += ln
+            else:
+                aln.append(DELETION, ln)
+                rr += ln
+        for op, ln in rc[i:]:
+            if op == OP_M:
+                self._append_cigar(aln, [(OP_M, ln)], query, ref, rq, rr)
+                rq += ln
+                rr += ln
+            elif op == OP_I:
+                aln.append(INSERTION, ln)
+                rq += ln
+            else:
+                aln.append(DELETION, ln)
+                rr += ln
