@@ -1,0 +1,93 @@
+"""Benchmark: single-chip alignment throughput (reads/s) on the flagship
+short-read config (BASELINE.json config #1 analog: random E. coli-scale
+genome + simulated 150bp reads, full pipeline seed -> SoC -> harmonize ->
+DP -> SAM fields).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against the reference maCMD running the same
+workload on this host's CPU cores (see BASELINE.md). Until that number is
+recorded in BASELINE_REF_READS_PER_S, vs_baseline is reported as 0.0.
+
+Env knobs: MA_TPU_BENCH_GENOME (bp, default 1_000_000),
+MA_TPU_BENCH_READS (default 2048), MA_TPU_BENCH_LEN (default 150).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference maCMD reads/s on the same genome/reads on this host's CPU
+# (all cores). 0.0 = not yet measured; fill from BASELINE.md runs.
+BASELINE_REF_READS_PER_S = 0.0
+
+
+def main():
+    genome_len = int(os.environ.get("MA_TPU_BENCH_GENOME", 1_000_000))
+    n_reads = int(os.environ.get("MA_TPU_BENCH_READS", 2048))
+    read_len = int(os.environ.get("MA_TPU_BENCH_LEN", 150))
+    batch = int(os.environ.get("MA_TPU_BENCH_BATCH", 512))
+
+    from ma_tpu.containers.nucseq import NucSeq, decode_seq, revcomp_codes
+    from ma_tpu.containers.pack import Pack
+    from ma_tpu.index.fmd_index import FMDIndex
+    from ma_tpu.pipeline.aligner import Aligner
+
+    rng = np.random.default_rng(1234)
+    genome = rng.integers(0, 4, size=genome_len).astype(np.uint8)
+    pack = Pack.empty()
+    pack.append("bench", genome)
+    t0 = time.perf_counter()
+    fmd = FMDIndex.build(pack)
+    t_index = time.perf_counter() - t0
+
+    reads = []
+    for i in range(n_reads):
+        p = int(rng.integers(0, genome_len - read_len))
+        codes = genome[p : p + read_len].copy()
+        for j in np.nonzero(rng.random(read_len) < 0.01)[0]:
+            codes[j] = (codes[j] + rng.integers(1, 4)) % 4
+        if i % 2:
+            codes = revcomp_codes(codes)
+        reads.append(NucSeq.from_str(decode_seq(codes), name=f"r{i}"))
+
+    aligner = Aligner(pack, fmd)
+
+    # warmup: compile the device stage on the bucket shape
+    warm = reads[: min(batch, n_reads)]
+    t0 = time.perf_counter()
+    res = aligner.align_batch(warm)
+    t_warm = time.perf_counter() - t0
+    n_aligned = sum(1 for r in res if r)
+
+    t0 = time.perf_counter()
+    total = 0
+    for s in range(0, n_reads, batch):
+        chunk = reads[s : s + batch]
+        aligner.align_batch(chunk)
+        total += len(chunk)
+    dt = time.perf_counter() - t0
+    rps = total / dt
+
+    vs = rps / BASELINE_REF_READS_PER_S if BASELINE_REF_READS_PER_S > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "reads_per_s_150bp_1chip",
+                "value": round(rps, 2),
+                "unit": "reads/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+    print(
+        f"# genome={genome_len}bp index_build={t_index:.1f}s warmup={t_warm:.1f}s "
+        f"aligned_warm={n_aligned}/{len(warm)} total={total} wall={dt:.2f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

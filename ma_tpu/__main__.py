@@ -1,0 +1,6 @@
+from ma_tpu.cli import main
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,244 @@
+"""`maCMD`-compatible command line front end.
+
+Re-design of the reference CLI (reference: cmdMa.cpp:252-432):
+
+* first pass picks the presetting (`-p` / `--Presetting`)
+* `-X` / `--Create_Index fasta,folder,name` builds pack + FMD index
+* `-x` / `--Index` loads a genome by manifest prefix
+* `-i` / `--In` (comma list) and `-m` / `--Mate_In` select reads
+* every other flag resolves against the parameter registry by short
+  letter (`-t 4`) or normalized long name (`--Minimal_Seed_Length 12`);
+  boolean parameters may appear without a value
+* help text is generated from parameter reflection (cmdMa.cpp:107-238)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Optional
+
+from ma_tpu import __version__
+from ma_tpu.config.parameters import ParameterSetManager, normalize
+
+
+def _by_short(mgr: ParameterSetManager, c: str):
+    try:
+        return mgr.selected.by_short[c]
+    except KeyError:
+        raise RuntimeError(f"unknown option: -{c}")
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def generate_help(mgr: ParameterSetManager) -> str:
+    lines = [
+        "=" * 20 + " MA-TPU: The Modular Aligner, TPU-native " + "=" * 20,
+        f"Version {__version__}",
+        "",
+        "Usage:",
+        "  ma-tpu --Create_Index <fasta,folder,name>       build an index",
+        "  ma-tpu -x <index> -i <reads.fq[,more]> [-o out.sam] [options]",
+        "",
+        "Available presettings: "
+        + ", ".join(f"'{s.name}'" for s in mgr.sets.values()),
+        "",
+        "General options:",
+        "  -x, --Index <file_name>         genome/index prefix (from --Create_Index)",
+        "  -i, --In <file_name>            FASTA/FASTQ read files (comma separated)",
+        "  -m, --Mate_In <file_name>       mate files: enables paired mode",
+        "  -o, --SAM_File_name <name>      SAM output path (default stdout)",
+        "  -X, --Create_Index <fa,dir,name> build FMD index for a FASTA file",
+        "  -p, --Presetting <name>         parameter preset",
+        "  -h, --Help                      print this message",
+        "",
+    ]
+    by_cat: dict = {}
+    for p in mgr.selected.by_name.values():
+        by_cat.setdefault(p.category, []).append(p)
+    for cat, params in by_cat.items():
+        lines.append(f"{cat} options:")
+        for p in params:
+            short = f"-{p.short}, " if p.short else "    "
+            lines.append(
+                f"  {short}--{p.name.replace(' ', '_')} <{type(p.default).__name__}>"
+            )
+            lines.append(f"        {p.description} [default: {p.default}]")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def create_index(fasta: str, folder: str, name: str, log=print) -> str:
+    from ma_tpu.containers.pack import Pack
+    from ma_tpu.index.fmd_index import FMDIndex
+
+    prefix = os.path.join(folder, name)
+    log(f"Loading genome {fasta} ...")
+    pack = Pack.from_fasta(fasta)
+    pack.store(prefix)
+    log(f"Packed {pack.num_contigs} contigs, {pack.unpacked_size_forward_strand} bp.")
+    t0 = time.perf_counter()
+    log("Building FMD index ...")
+    fmd = FMDIndex.build(pack)
+    fmd.store(prefix)
+    log(f"FMD index built in {time.perf_counter() - t0:.1f}s -> {prefix}.fmd.npz")
+    return prefix
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    mgr = ParameterSetManager()
+
+    if not argv:
+        print(generate_help(mgr))
+        return 0
+
+    # first pass: presetting (cmdMa.cpp:278-284)
+    try:
+        for i in range(1, len(argv)):
+            if argv[i - 1] in ("-p", "--Presetting") or (
+                argv[i - 1].startswith("--")
+                and normalize(argv[i - 1][2:]) == "presetting"
+            ):
+                mgr.set_selected(argv[i])
+    except KeyError as ex:
+        print(f"Error:\n{ex.args[0]}", file=sys.stderr)
+        return 1
+
+    index_prefix = None
+    in_files: List[str] = []
+    mate_files: List[str] = []
+    out_path = None
+
+    try:
+        i = 0
+        while i < len(argv):
+            opt = argv[i]
+            nxt = argv[i + 1] if i + 1 < len(argv) else None
+            key = normalize(opt[2:]) if opt.startswith("--") else None
+            if opt in ("-p",) or key == "presetting":
+                i += 2
+                continue
+            if opt in ("-h",) or key in ("help",):
+                print(generate_help(mgr))
+                return 0
+            if opt == "-x" or key == "index":
+                index_prefix = nxt
+                i += 2
+                continue
+            if opt == "-i" or key == "in":
+                in_files = nxt.split(",")
+                i += 2
+                continue
+            if opt == "-m" or key == "mate_in":
+                mate_files = nxt.split(",")
+                mgr.selected.set("Use Paired Reads", True)
+                i += 2
+                continue
+            if opt == "-o" or key == "sam_file_name":
+                out_path = nxt
+                i += 2
+                continue
+            if opt == "-X" or key == "create_index":
+                parts = nxt.split(",")
+                if len(parts) != 3:
+                    raise RuntimeError("--Create_Index needs exactly three parameters")
+                create_index(parts[0], parts[1], parts[2])
+                return 0
+            # generic registry lookup (cmdMa.cpp:349-417)
+            if nxt is not None and (not nxt.startswith("-") or _is_number(nxt)):
+                if opt.startswith("--") and len(opt) > 2:
+                    mgr.selected[opt[2:]].set(nxt)
+                elif opt.startswith("-") and len(opt) == 2:
+                    _by_short(mgr, opt[1]).set(nxt)
+                else:
+                    raise RuntimeError(
+                        f"unknown option type: {opt}. Did you forget to add "
+                        "the '-' or '--' at the beginning?"
+                    )
+                i += 2
+            else:  # boolean flag
+                if opt.startswith("--") and len(opt) > 2:
+                    p = mgr.selected[opt[2:]]
+                elif opt.startswith("-") and len(opt) == 2:
+                    p = _by_short(mgr, opt[1])
+                else:
+                    raise RuntimeError(f"unknown option type: {opt}")
+                if not isinstance(p.default, bool):
+                    raise RuntimeError("Parameters need to be provided as key value pairs")
+                p.set(True)
+                i += 1
+
+        if index_prefix is None or not in_files:
+            raise RuntimeError(
+                "both an index (-x) and at least one read file (-i) must be provided"
+            )
+        return run_alignment(mgr, index_prefix, in_files, mate_files, out_path)
+    except (RuntimeError, KeyError) as ex:
+        print(f"Error:\n{ex}", file=sys.stderr)
+        return 1
+
+
+def _ensure_jax_backend() -> None:
+    """Fall back to an initializable backend when the pinned platform is
+    unavailable (e.g. a TPU tunnel that is down)."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
+def run_alignment(
+    mgr: ParameterSetManager,
+    index_prefix: str,
+    in_files: List[str],
+    mate_files: List[str],
+    out_path: Optional[str],
+) -> int:
+    _ensure_jax_backend()
+    from ma_tpu.containers.pack import Pack
+    from ma_tpu.index.fmd_index import FMDIndex
+    from ma_tpu.io.fasta import read_reads, zip_paired
+    from ma_tpu.pipeline.aligner import Aligner
+
+    pack = Pack.load(index_prefix)
+    fmd = FMDIndex.load(index_prefix)
+    aligner = Aligner(pack, fmd, mgr)
+    cmd = "ma-tpu " + " ".join(sys.argv[1:])
+
+    def all_reads(paths):
+        for path in paths:
+            yield from read_reads(path)
+
+    out = open(out_path, "w") if out_path and out_path != "stdout" else sys.stdout
+    t0 = time.perf_counter()
+    try:
+        if mate_files:
+            from ma_tpu.pipeline.paired import PairedAligner
+
+            paired = PairedAligner(aligner)
+            n = paired.align_to_sam(
+                zip_paired(all_reads(in_files), all_reads(mate_files)), out, cmd=cmd
+            )
+        else:
+            n = aligner.align_to_sam(all_reads(in_files), out, cmd=cmd)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    dt = time.perf_counter() - t0
+    print(f"done. {n} reads in {dt:.1f}s ({n / max(dt, 1e-9):.0f} reads/s)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

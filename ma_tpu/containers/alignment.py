@@ -28,7 +28,12 @@ from ma_tpu.containers.pack import Pack
 # op codes (SEED is stored distinctly but rendered as '=' in CIGARs)
 SEED, MATCH, MISMATCH, INSERTION, DELETION = "s", "=", "X", "I", "D"
 
+MULTIPLE_SEGMENTS_IN_TEMPLATE = 0x001
+SEGMENT_PROPERLY_ALIGNED = 0x002
 REVERSE_COMPLEMENTED = 0x10
+NEXT_REVERSE_COMPLEMENTED = 0x020
+FIRST_IN_TEMPLATE = 0x040
+LAST_IN_TEMPLATE = 0x080
 SECONDARY_ALIGNMENT = 0x100
 SUPPLEMENTARY_ALIGNMENT = 0x800
 
@@ -40,6 +45,9 @@ class AlnStats:
     seed_coverage: int = 0
     num_seeds: int = 0
     set_mapping_quality_to_zero: bool = False
+    # paired-read bookkeeping (reference AlignmentStatistics bFirst/pOther)
+    first: bool = True
+    other: Optional["Alignment"] = None
 
 
 class Alignment:

@@ -1,0 +1,327 @@
+"""Full alignment pipeline orchestrator (the ExecutionContext/setUpCompGraph
+equivalent).
+
+The reference builds a per-thread pledge graph
+(reference: libs/ma/src/util/export.cpp setUpCompGraph:72-128 —
+FileReader -> BinarySeeding -> StripOfConsideration -> Harmonization ->
+NeedlemanWunsch -> MappingQuality -> FileWriter) and replicates it N times
+over a thread pool (libs/ms/inc/ms/module/module.h parallelGraph:386).
+
+The TPU-native re-design replaces the graph-of-modules with a single
+jit-compiled device stage over a fixed-shape read batch:
+
+    seeding -> seed extraction -> SoC -> harmonization      (one XLA program)
+
+followed by host-side DP orchestration (gap fill / extension problems are
+re-batched and solved by the banded DP kernel in a few device calls), CIGAR
+assembly, mapping quality, and SAM emission. Data parallelism is a sharded
+batch axis over a `jax.sharding.Mesh` (ma_tpu/parallel/) instead of a
+thread pool.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import IO, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ma_tpu.config.parameters import ParameterSet, ParameterSetManager
+from ma_tpu.containers.alignment import Alignment
+from ma_tpu.containers.nucseq import NucSeq
+from ma_tpu.containers.pack import Pack
+from ma_tpu.index.fmd_index import FMDIndex
+from ma_tpu.io.sam import SamWriter
+from ma_tpu.ops.extract import extract_seeds
+from ma_tpu.ops.harmonize import HarmBatch, harmonization
+from ma_tpu.ops.occ import FMDDev
+from ma_tpu.ops.seeding import max_spanning_seeding
+from ma_tpu.ops.soc import SoCBatch, soc_collect
+from ma_tpu.pipeline.nw import NWAligner, NWConfig
+from ma_tpu.pipeline.quality import mapping_quality
+
+
+def _next_pow2(n: int, lo: int = 32) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceStageConfig:
+    """Static (shape-determining) parameters of the jitted device stage.
+
+    Capacities scale with the padded read length L of the batch bucket so
+    short-read batches stay small while long reads get room.
+    """
+
+    max_segs: int
+    max_seeds: int
+    max_socs_collect: int
+    max_socs_harm: int
+    seeds_per_soc: int
+    min_seed_len: int
+    min_ambiguity: int
+    max_ambiguity: int
+    skip_ambiguous: bool
+    rectangular: bool
+    fixed_soc_width: int
+    match: int
+    extend: int
+    gap: int
+    min_socs: int
+    do_heuristics: bool
+    switch_qlen: int
+    score_tolerance: float
+    harm_score_min: int
+    harm_score_min_rel: float
+    score_diff_tolerance: float
+    max_lookahead: int
+    max_delta_dist: float
+    min_delta_dist: int
+
+    @classmethod
+    def from_params(cls, pset: ParameterSet, padded_len: int) -> "DeviceStageConfig":
+        g = pset.get
+        L = padded_len
+        max_socs = int(g("Maximal Number of SoCs"))
+        return cls(
+            max_segs=_next_pow2(max(64, L // 4)),
+            max_seeds=_next_pow2(max(256, L * 2)),
+            max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
+            max_socs_harm=max_socs,
+            seeds_per_soc=_next_pow2(max(64, L // 4)),
+            min_seed_len=int(g("Minimal Seed Length")),
+            min_ambiguity=int(g("Minimal Ambiguity")),
+            max_ambiguity=int(g("Maximal Ambiguity")),
+            skip_ambiguous=bool(g("Skip Ambiguous Seeds")),
+            rectangular=bool(g("Rectangular SoC")),
+            fixed_soc_width=int(g("Fixed SoC Width")),
+            match=int(g("Match Score")),
+            extend=int(g("Extend Penalty")),
+            gap=int(g("Gap penalty")),
+            min_socs=int(g("Minimal Number of SoCs")),
+            do_heuristics=not bool(g("Disable All Heuristics")),
+            switch_qlen=int(g("Harmonization Score Drop-off - Minimal Query Length")),
+            score_tolerance=float(g("SoC Score Drop-off")),
+            harm_score_min=int(g("Minimal Harmonization Score")),
+            harm_score_min_rel=float(g("Relative Minimal Harmonization Score")),
+            score_diff_tolerance=float(g("Harmonization Drop-off A - Score Difference")),
+            max_lookahead=int(g("Harmonization Drop-off B - Lookahead")),
+            max_delta_dist=float(g("Artifact Filter A - Maximal Delta Distance")),
+            min_delta_dist=int(g("Artifact Filter B - Minimal Delta Distance")),
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def device_stage(
+    cfg: DeviceStageConfig,
+    fmd: FMDDev,
+    contig_starts: jax.Array,
+    seqs: jax.Array,  # int32/uint8 [B, L]
+    lens: jax.Array,  # int32 [B]
+) -> Tuple[HarmBatch, SoCBatch]:
+    """The on-device portion of the pipeline: one XLA program per bucket
+    shape. Returns harmonized seed sets + the SoC batch (for stats)."""
+    segs = max_spanning_seeding(
+        fmd,
+        seqs,
+        lens,
+        max_segs=cfg.max_segs,
+        min_ambiguity=cfg.min_ambiguity,
+        max_ambiguity=cfg.max_ambiguity,
+    )
+    seeds = extract_seeds(
+        fmd,
+        segs,
+        lens,
+        contig_starts,
+        max_seeds=cfg.max_seeds,
+        max_ambiguity=cfg.max_ambiguity,
+        min_seed_len=cfg.min_seed_len,
+        skip_ambiguous=cfg.skip_ambiguous,
+        rectangular=cfg.rectangular,
+    )
+    soc = soc_collect(
+        seeds,
+        lens,
+        contig_starts,
+        match=cfg.match,
+        extend=cfg.extend,
+        gap=cfg.gap,
+        fixed_width=cfg.fixed_soc_width,
+        rectangular=cfg.rectangular,
+        max_socs=cfg.max_socs_collect,
+    )
+    harm = harmonization(
+        soc,
+        lens,
+        text_len=fmd.n,
+        max_socs=cfg.max_socs_harm,
+        min_socs=cfg.min_socs,
+        seeds_per_soc=cfg.seeds_per_soc,
+        do_heuristics=cfg.do_heuristics,
+        switch_qlen=cfg.switch_qlen,
+        score_tolerance=cfg.score_tolerance,
+        harm_score_min=cfg.harm_score_min,
+        harm_score_min_rel=cfg.harm_score_min_rel,
+        score_diff_tolerance=cfg.score_diff_tolerance,
+        max_lookahead=cfg.max_lookahead,
+        max_delta_dist=cfg.max_delta_dist,
+        min_delta_dist=cfg.min_delta_dist,
+    )
+    return harm, soc
+
+
+class Aligner:
+    """One-stop single-end aligner over a Pack + FMDIndex."""
+
+    def __init__(
+        self,
+        pack: Pack,
+        fmd: FMDIndex,
+        params: ParameterSetManager | ParameterSet | None = None,
+        sharding=None,
+    ):
+        if params is None:
+            params = ParameterSetManager()
+        self.pset: ParameterSet = (
+            params.selected if isinstance(params, ParameterSetManager) else params
+        )
+        self.pack = pack
+        self.fmd_host = fmd
+        self.dev = FMDDev.from_host(fmd)
+        self.contig_starts = jnp.asarray(np.asarray(pack.starts, np.int32))
+        self.sharding = sharding  # optional jax.sharding.NamedSharding for [B, L]
+        self.nw_cfg = NWConfig(self.pset)
+
+    # ----------------------------------------------------------------- device
+    def run_device_stage(self, seqs: np.ndarray, lens: np.ndarray):
+        """Run the jitted device stage on a [B, L] batch of codes."""
+        cfg = DeviceStageConfig.from_params(self.pset, seqs.shape[1])
+        seqs_j = jnp.asarray(seqs)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        if self.sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_axis = self.sharding.spec[0]
+            seqs_j = jax.device_put(seqs_j, self.sharding)
+            lens_j = jax.device_put(
+                lens_j, NamedSharding(self.sharding.mesh, PartitionSpec(batch_axis))
+            )
+        return device_stage(cfg, self.dev, self.contig_starts, seqs_j, lens_j)
+
+    # ------------------------------------------------------------------- host
+    def align_batch(self, reads: Sequence[NucSeq]) -> List[List[Alignment]]:
+        """Align a batch of reads (any lengths; padded to one bucket)."""
+        if not reads:
+            return []
+        B = len(reads)
+        L = _next_pow2(max(len(r) for r in reads))
+        seqs = np.full((B, L), 4, np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, r in enumerate(reads):
+            seqs[i, : len(r)] = r.codes
+            lens[i] = len(r)
+        harm, soc = self.run_device_stage(seqs, lens)
+        return self.finish_batch(reads, harm)
+
+    def finish_batch(
+        self, reads: Sequence[NucSeq], harm: HarmBatch
+    ) -> List[List[Alignment]]:
+        """Host half: DP fill/extend + assembly + mapping quality."""
+        pset = self.pset
+        nw = NWAligner(self.pack, self.nw_cfg)
+        hq = np.asarray(harm.q_start)
+        hl = np.asarray(harm.length)
+        hr = np.asarray(harm.ref_start)
+        hv = np.asarray(harm.valid)
+        hsv = np.asarray(harm.set_valid)
+        hsoc = np.asarray(harm.soc_of)
+        plans: List[Tuple[int, int, tuple]] = []
+        for b in range(len(reads)):
+            codes = reads[b].codes
+            for gset in np.nonzero(hsv[b])[0]:
+                mm = np.nonzero(hv[b, gset])[0]
+                if mm.size == 0:
+                    continue
+                ss = [
+                    (int(hq[b, gset, m]), int(hl[b, gset, m]), int(hr[b, gset, m]))
+                    for m in mm
+                ]
+                out = nw.plan_set(codes, ss)
+                if out is not None:
+                    plans.append((b, int(hsoc[b, gset]), out))
+        nw.run_batches()
+        per_read: List[List[Alignment]] = [[] for _ in reads]
+        for (b, strip, out) in plans:
+            plan, begin_ref, ref = out
+            aln = nw.assemble(plan, begin_ref, ref, reads[b].codes)
+            aln.stats.index_of_strip = strip
+            aln.stats.name = reads[b].name
+            per_read[b].append(aln)
+        result = []
+        for b, alns in enumerate(per_read):
+            result.append(
+                mapping_quality(
+                    alns,
+                    len(reads[b]),
+                    match=int(pset.get("Match Score")),
+                    max_supplementary=int(pset.get("Number Supplementary Alignments")),
+                    max_overlap_supplementary=float(
+                        pset.get("Maximal Supplementary Overlap")
+                    ),
+                    report_n=int(pset.get("Maximal Number of Reported Alignments")),
+                    min_score=int(pset.get("Minimal Alignment Score")),
+                )
+            )
+        return result
+
+    # --------------------------------------------------------------- frontend
+    def align_to_sam(
+        self,
+        reads: Iterable[NucSeq],
+        out: IO[str],
+        batch_size: int = 256,
+        cmd: str = "ma_tpu",
+    ) -> int:
+        """Stream reads -> SAM records. Returns #reads processed.
+
+        Reads are grouped into fixed-size batches bucketed by padded length
+        (the FileReader/CyclicQueue role, minus threads: batching replaces
+        the per-thread graph replicas)."""
+        pset = self.pset
+        writer = SamWriter(
+            out,
+            self.pack,
+            cmd=cmd,
+            soft_clip=bool(pset.get("Soft clip")),
+            use_m_cigar=bool(pset.get("Use M in CIGAR")),
+        )
+        n = 0
+        buckets: dict = {}
+        omit_sec = bool(pset.get("Omit Secondary Alignments"))
+        omit_sup = bool(pset.get("Omit Supplementary Alignments"))
+
+        def flush(bucket: List[NucSeq]):
+            nonlocal n
+            for read, alns in zip(bucket, self.align_batch(bucket)):
+                if omit_sec:
+                    alns = [a for a in alns if not a.secondary]
+                if omit_sup:
+                    alns = [a for a in alns if not a.supplementary]
+                writer.write(alns, read)
+                n += 1
+
+        for read in reads:
+            key = _next_pow2(max(len(read), 1))
+            buckets.setdefault(key, []).append(read)
+            if len(buckets[key]) >= batch_size:
+                flush(buckets.pop(key))
+        for bucket in buckets.values():
+            flush(bucket)
+        return n

@@ -1,0 +1,68 @@
+"""CLI front-end tests (reference: cmdMa.cpp flag semantics)."""
+import os
+
+import numpy as np
+import pytest
+
+from ma_tpu.cli import main
+from ma_tpu.containers.nucseq import decode_seq
+from ma_tpu.containers.pack import Pack
+
+
+@pytest.fixture(scope="module")
+def genome_fasta(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(41)
+    genome = rng.integers(0, 4, size=8192).astype(np.uint8)
+    fa = d / "genome.fa"
+    seq = decode_seq(genome)
+    fa.write_text(">chrC desc here\n" + "\n".join(
+        seq[i : i + 70] for i in range(0, len(seq), 70)
+    ) + "\n")
+    return d, fa, genome
+
+
+def test_create_index_and_align(genome_fasta, capsys):
+    d, fa, genome = genome_fasta
+    assert main(["--Create_Index", f"{fa},{d},idx"]) == 0
+    assert os.path.exists(d / "idx.json")
+    assert os.path.exists(d / "idx.fmd.npz")
+    pack = Pack.load(str(d / "idx"))
+    assert pack.names == ["chrC"]
+
+    # simulate reads
+    rng = np.random.default_rng(43)
+    reads_path = d / "reads.fq"
+    truth = []
+    with open(reads_path, "w") as f:
+        for i in range(8):
+            p = int(rng.integers(0, 8192 - 120))
+            s = decode_seq(genome[p : p + 120])
+            f.write(f"@r{i}\n{s}\n+\n{'I' * 120}\n")
+            truth.append(p)
+    out = d / "out.sam"
+    rc = main(["-x", str(d / "idx"), "-i", str(reads_path), "-o", str(out)])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    recs = {f[0]: f for f in (l.split("\t") for l in lines if not l.startswith("@"))}
+    for i, p in enumerate(truth):
+        assert int(recs[f"r{i}"][3]) - 1 == p
+
+
+def test_parameter_flags(genome_fasta, capsys):
+    d, fa, genome = genome_fasta
+    # bad preset
+    assert main(["-p", "nonexistent", "-x", "y", "-i", "z"]) == 1
+    err = capsys.readouterr().err
+    assert "can not be found" in err
+    # missing index
+    assert main(["-i", "reads.fq"]) == 1
+    # unknown flag
+    assert main(["-x", str(d / "idx"), "-i", "r.fq", "--No_Such_Flag", "1"]) == 1
+
+
+def test_help_runs(capsys):
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "presettings" in out.lower()
+    assert "--Minimal_Seed_Length" in out.replace("Minimal_Seed_Length", "Minimal_Seed_Length") or "Seeding" in out
