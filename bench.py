@@ -19,9 +19,10 @@ import time
 
 import numpy as np
 
-# Reference maCMD reads/s on the same genome/reads on this host's CPU
-# (all cores). 0.0 = not yet measured; fill from BASELINE.md runs.
-BASELINE_REF_READS_PER_S = 0.0
+# Reference maCMD reads/s on the same genome/reads (1 Mbp random genome,
+# 150bp 1%-error reads) on this host's 2 CPU cores, measured 2026-08-17:
+# 20480 reads / 0.723 s (-t 2) = 28,327 reads/s. See BASELINE.md.
+BASELINE_REF_READS_PER_S = 28327.0
 
 
 def main():

@@ -38,7 +38,7 @@ from ma_tpu.io.sam import SamWriter
 from ma_tpu.ops.extract import extract_seeds
 from ma_tpu.ops.harmonize import HarmBatch, harmonization
 from ma_tpu.ops.occ import FMDDev
-from ma_tpu.ops.seeding import max_spanning_seeding
+from ma_tpu.ops.seeding import max_spanning_seeding, smem_seeding
 from ma_tpu.ops.soc import SoCBatch, soc_collect
 from ma_tpu.pipeline.nw import NWAligner, NWConfig
 from ma_tpu.pipeline.quality import mapping_quality
@@ -59,6 +59,7 @@ class DeviceStageConfig:
     short-read batches stay small while long reads get room.
     """
 
+    seeding_technique: str
     max_segs: int
     max_seeds: int
     max_socs_collect: int
@@ -90,6 +91,7 @@ class DeviceStageConfig:
         L = padded_len
         max_socs = int(g("Maximal Number of SoCs"))
         return cls(
+            seeding_technique=str(g("Seeding Technique")),
             max_segs=_next_pow2(max(64, L // 4)),
             max_seeds=_next_pow2(max(256, L * 2)),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
@@ -127,7 +129,8 @@ def device_stage(
 ) -> Tuple[HarmBatch, SoCBatch]:
     """The on-device portion of the pipeline: one XLA program per bucket
     shape. Returns harmonized seed sets + the SoC batch (for stats)."""
-    segs = max_spanning_seeding(
+    seed_fn = smem_seeding if cfg.seeding_technique == "SMEMs" else max_spanning_seeding
+    segs = seed_fn(
         fmd,
         seqs,
         lens,

@@ -120,12 +120,19 @@ class NWAligner:
             return
         if not local_begin and not local_end:
             if tq - fq > cfg.max_gap_area or tr - fr > cfg.max_gap_area:
-                # dual z-drop extension (ksw_dual_ext)
+                # dual z-drop extension (ksw_dual_ext). A banded extension
+                # can never reach ref column > qlen + band (cells with
+                # |i-j| > band are skipped), so clamp the ref windows — this
+                # is exact, and it keeps the DP area (and the direction
+                # matrix shipped to host) proportional to the query.
+                cap = (tq - fq) + cfg.band_ext + 1
                 pl = self._new_problem(
-                    query[fq:tq], ref[fr:tr], cfg.band_ext, is_global=False
+                    query[fq:tq], ref[fr : min(tr, fr + cap)], cfg.band_ext,
+                    is_global=False,
                 )
                 pr = self._new_problem(
-                    query[fq:tq][::-1], ref[fr:tr][::-1], cfg.band_ext, is_global=False
+                    query[fq:tq][::-1], ref[max(fr, tr - cap) : tr][::-1],
+                    cfg.band_ext, is_global=False,
                 )
                 plan.append(("dual", pl, pr, fq, tq, fr, tr))
             else:
@@ -135,10 +142,18 @@ class NWAligner:
                 p = self._new_problem(query[fq:tq], ref[fr:tr], w, is_global=True)
                 plan.append(("global", p, fq, tq, fr, tr))
             return
-        # one-sided extension
+        # one-sided extension; clamp the ref window to qlen + band (exact,
+        # see the dual branch comment)
         rev = local_begin
-        qseg = query[fq:tq][::-1] if rev else query[fq:tq]
-        tseg = ref[fr:tr][::-1] if rev else ref[fr:tr]
+        cap = (tq - fq) + cfg.band_ext + 1
+        if rev:
+            fr2 = max(fr, tr - cap)
+            qseg = query[fq:tq][::-1]
+            tseg = ref[fr2:tr][::-1]
+        else:
+            tr2 = min(tr, fr + cap)
+            qseg = query[fq:tq]
+            tseg = ref[fr:tr2]
         p = self._new_problem(qseg, tseg, cfg.band_ext, is_global=False)
         plan.append(("ext", p, rev, fq, tq, fr, tr))
 
@@ -246,11 +261,14 @@ class NWAligner:
     def _append_cigar(self, aln: Alignment, cigar, query, ref, qpos, rpos):
         for op, ln in cigar:
             if op == OP_M:
-                for k in range(ln):
-                    if query[qpos + k] == ref[rpos + k] and query[qpos + k] < 4:
-                        aln.append(MATCH, 1)
-                    else:
-                        aln.append(MISMATCH, 1)
+                qs = np.asarray(query[qpos : qpos + ln])
+                ts = np.asarray(ref[rpos : rpos + ln])
+                eq = (qs == ts) & (qs < 4)
+                # run-length encode the match/mismatch pattern
+                change = np.flatnonzero(eq[1:] != eq[:-1]) + 1
+                bounds = np.concatenate(([0], change, [ln]))
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    aln.append(MATCH if eq[s] else MISMATCH, int(e - s))
                 qpos += ln
                 rpos += ln
             elif op == OP_I:
