@@ -282,6 +282,21 @@ class Aligner:
                     min_score=int(pset.get("Minimal Alignment Score")),
                 )
             )
+        # SmallInversions runs AFTER MappingQuality (export.cpp:100-125) so
+        # rescued inversions keep their forced MAPQ of 0
+        if bool(pset.get("Detect Small Inversions")):
+            from ma_tpu.pipeline.inversions import small_inversions
+
+            small_inversions(
+                result,
+                reads,
+                self.pack,
+                params=self.nw_cfg.params,
+                band=self.nw_cfg.band_ext,
+                zdrop_inv=int(pset.get("Z Drop Inversions")),
+                harm_score_min=int(pset.get("Minimal Harmonization Score")),
+                disable_heuristics=bool(pset.get("Disable All Heuristics")),
+            )
         return result
 
     # --------------------------------------------------------------- frontend
