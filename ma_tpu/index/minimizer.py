@@ -1,0 +1,251 @@
+"""Minimizer index: host build + device-resident sorted-array lookup.
+
+TPU re-design of the reference minimizer layer
+(reference: libs/minimizerscpp/ — vendored minimap2 sketch.cpp/index.cpp —
+wrapped by libs/ma/inc/ma/container/minimizer_index.h; hit->Seed conversion
+semantics from minimizer_index.h seed_one:207-275).
+
+Instead of minimap2's bucketed hash table, the index is a pair of sorted
+arrays (hash, payload) — lookups are vectorized `searchsorted` over the
+whole read batch, which maps a full read's seeding onto a handful of wide
+gathers (no sequential FM-chain): this is the throughput seeding path on
+TPU.
+
+Sketch semantics follow minimap2: packed 2k-bit canonical k-mers (strand =
+smaller of forward/revcomp packing, symmetric k-mers skipped), invertible
+hash, window-of-w minimum with ties kept.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ma_tpu.containers.pack import Pack
+from ma_tpu.ops.extract import SeedBatch, compute_delta
+
+UINT32 = np.uint32
+
+
+def _hash_masked(key, mask, xp):
+    """minimap2 hash64 (sketch.cpp): invertible mix on the masked domain."""
+    key = xp.bitwise_and((~key) + (key << 21), mask)
+    key = key ^ (key >> 24)
+    key = xp.bitwise_and(key + (key << 3) + (key << 8), mask)
+    key = key ^ (key >> 14)
+    key = xp.bitwise_and(key + (key << 2) + (key << 4), mask)
+    key = key ^ (key >> 28)
+    key = xp.bitwise_and(key + (key << 31), mask)
+    return key
+
+
+def _sketch_arrays(codes, k: int, w: int, xp):
+    """Shared sketch math for numpy (host build) and jnp (device query).
+
+    codes: [..., L] int32 base codes (4/5 = N). Returns
+    (minimizer_mask [..., L] bool over k-mer START positions,
+     hash [..., L] uint32, strand [..., L] int32, valid_kmer [..., L] bool).
+    Positions i > L-k are never selected.
+    """
+    L = codes.shape[-1]
+    mask = UINT32((1 << (2 * k)) - 1)
+    c = xp.asarray(codes).astype(UINT32)
+    is_n = c >= 4
+    c = xp.where(is_n, UINT32(0), c)
+
+    def shift(arr, j, fill):
+        """arr shifted left by j along the last axis (arr[..., i+j])."""
+        if j == 0:
+            return arr
+        pad = xp.full(arr.shape[:-1] + (j,), fill, arr.dtype)
+        return xp.concatenate([arr[..., j:], pad], axis=-1)
+
+    kmer_f = xp.zeros(c.shape, UINT32)
+    kmer_r = xp.zeros(c.shape, UINT32)
+    any_n = xp.zeros(c.shape, bool)
+    for j in range(k):
+        cj = shift(c, j, UINT32(0))
+        nj = shift(is_n, j, True)
+        kmer_f = xp.bitwise_and((kmer_f << 2) | cj, mask)
+        # reverse complement: base j of fwd k-mer lands at position k-1-j
+        kmer_r = kmer_r | ((UINT32(3) ^ cj) << UINT32(2 * j))
+        any_n = any_n | nj
+    kmer_r = xp.bitwise_and(kmer_r, mask)
+    valid = ~any_n
+    strand = xp.where(kmer_r < kmer_f, 1, 0).astype(np.int32)
+    canon = xp.where(kmer_r < kmer_f, kmer_r, kmer_f)
+    sym = kmer_f == kmer_r
+    valid = valid & ~sym
+    h = _hash_masked(canon, mask, xp)
+    big = UINT32(0xFFFFFFFF)
+    h_key = xp.where(valid, h, big)
+
+    # window minima: m[j] = min(h_key[j .. j+w)); i is a minimizer iff some
+    # window covering i attains its minimum at i (ties kept, minimap2-style)
+    m = h_key
+    for j in range(1, w):
+        m = xp.minimum(m, shift(h_key, j, big))
+    sel = xp.zeros(c.shape, bool)
+    for j in range(w):
+        # window starting at i-j covers i
+        if j == 0:
+            mj = m
+        else:
+            pad = xp.full(c.shape[:-1] + (j,), big, UINT32)
+            mj = xp.concatenate([pad, m[..., :-j]], axis=-1)
+        sel = sel | (mj == h_key)
+    sel = sel & valid
+    # windows must fit: start positions limited to [0, L-k-w+1+w-1] = k-mer range
+    idx = xp.arange(L)
+    sel = sel & (idx <= L - k)
+    return sel, h, strand, valid
+
+
+class MinimizerIndexDev(NamedTuple):
+    """Device arrays: minimizers sorted by hash."""
+
+    hash_sorted: jax.Array  # uint32 [n]
+    pos: jax.Array  # int32 [n] — global last-base position of the k-mer
+    strand: jax.Array  # int32 [n] — 0 fwd, 1 rev (canonical orientation)
+
+
+@dataclasses.dataclass
+class MinimizerIndex:
+    k: int
+    w: int
+    hash_sorted: np.ndarray  # uint32 [n]
+    pos: np.ndarray  # int32 [n]
+    strand: np.ndarray  # int32 [n]
+
+    @classmethod
+    def build(cls, pack: Pack, k: int = 15, w: int = 10) -> "MinimizerIndex":
+        hs, ps, ss = [], [], []
+        for ci in range(pack.num_contigs):
+            codes = pack.contig_codes(ci).astype(np.int32)
+            if len(codes) < k + w:
+                continue
+            sel, h, strand, _ = _sketch_arrays(codes, k, w, np)
+            ii = np.flatnonzero(sel)
+            hs.append(h[ii].astype(UINT32))
+            ps.append((ii + k - 1 + int(pack.starts[ci])).astype(np.int32))
+            ss.append(strand[ii].astype(np.int32))
+        if hs:
+            h = np.concatenate(hs)
+            p = np.concatenate(ps)
+            s = np.concatenate(ss)
+        else:
+            h = np.zeros(0, UINT32)
+            p = np.zeros(0, np.int32)
+            s = np.zeros(0, np.int32)
+        order = np.argsort(h, kind="stable")
+        return cls(k=k, w=w, hash_sorted=h[order], pos=p[order], strand=s[order])
+
+    def to_device(self) -> MinimizerIndexDev:
+        return MinimizerIndexDev(
+            hash_sorted=jnp.asarray(self.hash_sorted),
+            pos=jnp.asarray(self.pos),
+            strand=jnp.asarray(self.strand),
+        )
+
+    # ------------------------------------------------------------------- I/O
+    def store(self, prefix: str) -> None:
+        np.savez_compressed(
+            prefix + ".mmi.npz",
+            k=np.int64(self.k),
+            w=np.int64(self.w),
+            hash_sorted=self.hash_sorted,
+            pos=self.pos,
+            strand=self.strand,
+        )
+
+    @classmethod
+    def load(cls, prefix: str) -> "MinimizerIndex":
+        z = np.load(prefix + ".mmi.npz")
+        return cls(
+            k=int(z["k"]), w=int(z["w"]), hash_sorted=z["hash_sorted"],
+            pos=z["pos"], strand=z["strand"],
+        )
+
+    @staticmethod
+    def exists(prefix: str) -> bool:
+        import os
+
+        return os.path.exists(prefix + ".mmi.npz")
+
+
+def minimizer_seeding(
+    idx: MinimizerIndexDev,
+    seqs: jax.Array,  # [B, L] codes
+    lens: jax.Array,  # [B]
+    contig_starts: jax.Array,
+    ref_len_forward,  # L scalar (pack.unpacked_size_forward_strand)
+    k: int = 15,
+    w: int = 10,
+    max_occ: int = 50,
+    max_seeds: int = 1024,
+    rectangular: bool = True,
+) -> SeedBatch:
+    """Batched minimizer lookup -> SeedBatch (MinimizerSeeding::execute +
+    seed_one hit conversion, minimizer_index.h:207-275)."""
+    seqs = jnp.asarray(seqs, jnp.int32)
+    B, L = seqs.shape
+    lens = jnp.asarray(lens, jnp.int32)
+    sel, h, strand_q, _ = _sketch_arrays(seqs, k, w, jnp)
+    pos_ok = jnp.arange(L)[None, :] + k <= lens[:, None]
+    sel = sel & pos_ok
+
+    lo = jnp.searchsorted(idx.hash_sorted, h, side="left")
+    hi = jnp.searchsorted(idx.hash_sorted, h, side="right")
+    occ = jnp.where(sel, hi - lo, 0)
+    occ = jnp.where(occ > max_occ, 0, occ)  # hard occurrence cutoff
+
+    # slot allocation: seed m of k-mer position i -> output row
+    cum = jnp.cumsum(occ, axis=1)
+    total = cum[:, -1]
+    overflow = total > max_seeds
+    kk = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+    pos_of = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="right"))(
+        cum, jnp.broadcast_to(kk, (B, max_seeds))
+    )
+    pos_of = jnp.minimum(pos_of, L - 1).astype(jnp.int32)
+    cum_ex = cum - occ
+    barr = jnp.arange(B)[:, None]
+    j = kk - cum_ex[barr, pos_of]
+    valid = (kk < total[:, None]) & (j >= 0) & (j < occ[barr, pos_of])
+
+    n_idx = idx.pos.shape[0]
+    rows = jnp.clip(lo[barr, pos_of] + j, 0, max(n_idx - 1, 0))
+    if n_idx == 0:
+        valid = valid & False
+        rows = jnp.zeros_like(rows)
+    rpos = idx.pos[rows]  # global last-base position
+    rstrand = idx.strand[rows]
+    qstrand = strand_q[barr, pos_of]
+    same = rstrand == qstrand  # forward-strand match
+
+    qlast = pos_of + (k - 1)
+    q_start = jnp.where(same, pos_of, lens[:, None] - 1 - qlast)
+    ref_start = jnp.where(same, rpos - (k - 1), rpos)
+    length = jnp.full((B, max_seeds), k, jnp.int32)
+
+    delta = compute_delta(
+        q_start, length, ref_start, same, lens[:, None], contig_starts,
+        ref_len_forward, rectangular,
+    )
+    zero = jnp.zeros((B, max_seeds), jnp.int32)
+    return SeedBatch(
+        q_start=jnp.where(valid, q_start, zero),
+        length=jnp.where(valid, length, zero),
+        ref_start=jnp.where(valid, ref_start, zero),
+        on_forward=same & valid,
+        ambiguity=jnp.where(valid, occ[barr, pos_of], zero),
+        delta=jnp.where(valid, delta, jnp.int32(2**31 - 1)),
+        soc_nt=zero,
+        valid=valid,
+        n_seeds=jnp.minimum(total, max_seeds).astype(jnp.int32),
+        overflow=overflow,
+    )

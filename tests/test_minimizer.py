@@ -1,0 +1,128 @@
+"""Minimizer index + seeding + seed filters
+(reference: libs/minimizerscpp/, minimizer_index.h, seedFilters.h)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ma_tpu.containers.nucseq import decode_seq, revcomp_codes
+from ma_tpu.containers.pack import Pack
+from ma_tpu.index.minimizer import (
+    MinimizerIndex,
+    _sketch_arrays,
+    minimizer_seeding,
+)
+from ma_tpu.ops.filters import min_length, seed_lump, sort_remove_duplicates
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(91)
+    genome = rng.integers(0, 4, size=20000).astype(np.uint8)
+    pack = Pack.empty()
+    pack.append("chrM", genome)
+    idx = MinimizerIndex.build(pack, k=15, w=10)
+    return pack, idx, genome
+
+
+def test_build_density(setup):
+    pack, idx, genome = setup
+    n = len(idx.hash_sorted)
+    # minimizer density ~ 2/(w+1) of positions
+    assert 0.1 * len(genome) < n < 0.35 * len(genome)
+    assert np.all(np.diff(idx.hash_sorted.astype(np.int64)) >= 0)
+
+
+def test_sketch_device_matches_host(setup):
+    _, idx, genome = setup
+    codes = genome[500:800].astype(np.int32)
+    sel_h, h_h, s_h, v_h = _sketch_arrays(codes, 15, 10, np)
+    sel_d, h_d, s_d, v_d = _sketch_arrays(jnp.asarray(codes)[None], 15, 10, jnp)
+    assert np.array_equal(sel_h, np.asarray(sel_d)[0])
+    assert np.array_equal(h_h, np.asarray(h_d)[0])
+    assert np.array_equal(s_h, np.asarray(s_d)[0])
+
+
+def seeds_list(sb, b):
+    out = []
+    for s in range(sb.q_start.shape[1]):
+        if bool(sb.valid[b, s]):
+            out.append(
+                (int(sb.q_start[b, s]), int(sb.length[b, s]),
+                 int(sb.ref_start[b, s]), bool(sb.on_forward[b, s]))
+            )
+    return out
+
+
+def test_forward_read_seeds_on_diagonal(setup):
+    pack, idx, genome = setup
+    p = 3000
+    read = genome[p : p + 150]
+    seqs = jnp.asarray(read[None].astype(np.int32))
+    lens = jnp.asarray([150], np.int32)
+    sb = minimizer_seeding(
+        idx.to_device(), seqs, lens, jnp.asarray(pack.starts.astype(np.int32)),
+        pack.unpacked_size_forward_strand, k=15, w=10,
+    )
+    ss = seeds_list(sb, 0)
+    assert len(ss) >= 5
+    diag = [r - q for (q, l, r, fw) in ss if fw]
+    # most seeds on the true diagonal
+    assert sum(1 for d in diag if d == p) >= len(ss) * 0.8
+
+
+def test_reverse_read_seeds(setup):
+    pack, idx, genome = setup
+    p = 7000
+    read = revcomp_codes(genome[p : p + 150])
+    sb = minimizer_seeding(
+        idx.to_device(), jnp.asarray(read[None].astype(np.int32)),
+        jnp.asarray([150], np.int32), jnp.asarray(pack.starts.astype(np.int32)),
+        pack.unpacked_size_forward_strand, k=15, w=10,
+    )
+    ss = seeds_list(sb, 0)
+    assert len(ss) >= 5
+    rev = [s for s in ss if not s[3]]
+    assert len(rev) >= len(ss) * 0.8
+    # reverse seed: ref_start is the mirrored (largest) coordinate;
+    # q_start counts from the read start on the reverse-complement read.
+    # last base of k-mer at ref position rpos maps to read pos L-1-(rpos-p)
+    for (q, l, r, fw) in rev:
+        assert p <= r < p + 150
+
+def test_seed_lump_merges_diagonal_runs(setup):
+    pack, idx, genome = setup
+    p = 3000
+    read = genome[p : p + 150]
+    sb = minimizer_seeding(
+        idx.to_device(), jnp.asarray(read[None].astype(np.int32)),
+        jnp.asarray([150], np.int32), jnp.asarray(pack.starts.astype(np.int32)),
+        pack.unpacked_size_forward_strand, k=15, w=10,
+    )
+    lumped = seed_lump(sb)
+    before = seeds_list(sb, 0)
+    after = seeds_list(lumped, 0)
+    assert len(after) < len(before)
+    # the merged diagonal seed should span most of the read
+    spans = [(q, q + l) for (q, l, r, fw) in after if fw and r - q == p]
+    assert spans
+    total = sum(e - s for s, e in spans)
+    assert total >= 100
+    # merged seeds stay on their diagonal
+    for (q, l, r, fw) in after:
+        if fw and r - q == p:
+            assert np.array_equal(genome[r : r + l], read[q : q + l])
+
+
+def test_sort_remove_duplicates_and_min_length(setup):
+    pack, idx, genome = setup
+    read = genome[100:250]
+    sb = minimizer_seeding(
+        idx.to_device(), jnp.asarray(read[None].astype(np.int32)),
+        jnp.asarray([150], np.int32), jnp.asarray(pack.starts.astype(np.int32)),
+        pack.unpacked_size_forward_strand, k=15, w=10,
+    )
+    dd = sort_remove_duplicates(sb)
+    assert len(set(seeds_list(dd, 0))) == len(seeds_list(dd, 0))
+    ml = min_length(seed_lump(sb), 20)
+    assert all(l >= 20 for (_, l, _, _) in seeds_list(ml, 0))
