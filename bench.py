@@ -55,6 +55,8 @@ def main():
         reads.append(NucSeq.from_str(decode_seq(codes), name=f"r{i}"))
 
     aligner = Aligner(pack, fmd)
+    tech = os.environ.get("MA_TPU_BENCH_TECH", "minimizers")
+    aligner.pset.set("Seeding Technique", tech)
 
     # warmup: compile the device stage on the bucket shape
     warm = reads[: min(batch, n_reads)]

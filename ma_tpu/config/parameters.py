@@ -98,7 +98,7 @@ class ParameterSet:
         P("Score Factor for Paired Reads", 1.25, "Multiplier on scores of successfully paired reads.", "Paired Reads", check=positive)
 
         # --- Seeding (parameter.h:671-705)
-        P("Seeding Technique", "maxSpan", "Initial seeding technique.", "Seeding", short="s", choices=["maxSpan", "SMEMs", "MEMs"])
+        P("Seeding Technique", "maxSpan", "Initial seeding technique.", "Seeding", short="s", choices=["maxSpan", "SMEMs", "MEMs", "minimizers"])
         P("Minimal Seed Length", 16, "Discard seeds shorter than this.", "Seeding", short="l", check=positive)
         P("Minimal Ambiguity", 0, "Keep extending while occurrence count is above this.", "Seeding", check=positive)
         P("Maximal Ambiguity", 100, "Discard seeds occurring more often than this (0=disable).", "Seeding", check=positive)

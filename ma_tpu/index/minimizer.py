@@ -227,8 +227,13 @@ def minimizer_seeding(
     qstrand = strand_q[barr, pos_of]
     same = rstrand == qstrand  # forward-strand match
 
-    qlast = pos_of + (k - 1)
-    q_start = jnp.where(same, pos_of, lens[:, None] - 1 - qlast)
+    # Our SeedBatch convention keeps PLAIN read coordinates on both strands
+    # (like the FMD extract path): for a reverse hit, read[q+j] matches
+    # 3 - genome[ref_start - j], ref_start being the genome LAST base of the
+    # k-mer (the mirrored-largest coordinate). The reference's seed_one
+    # instead mirrors the query coordinate (minimizer_index.h:247-260) — its
+    # consumers expect that; ours do not.
+    q_start = pos_of
     ref_start = jnp.where(same, rpos - (k - 1), rpos)
     length = jnp.full((B, max_seeds), k, jnp.int32)
 

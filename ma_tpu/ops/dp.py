@@ -194,6 +194,118 @@ def banded_align(
 # --------------------------------------------------------------------- host
 # CIGAR op codes (SAM): 0=M 1=I 2=D
 OP_M, OP_I, OP_D = 0, 1, 2
+OP_NONE = 255
+
+# traceback modes
+_TB_H, _TB_E1, _TB_E2, _TB_F1, _TB_F2 = 0, 1, 2, 3, 4
+
+
+def traceback_device(dirs: jax.Array, si: jax.Array, sj: jax.Array):
+    """Batched on-device traceback (device analog of traceback_one).
+
+    dirs [P, D, M] uint8, si/sj [P] start cells (si < 0 = skip problem).
+    Returns (ops [P, S] uint8 emitted back-to-front with OP_NONE padding,
+    n_ops [P], rem_i [P], rem_j [P]) where rem_* are the residual leading
+    gap lengths (i+1 inserts, j+1 dels) to prepend on host.
+
+    Keeping the traceback on device means the [P, D, M] direction tensor
+    never leaves HBM — only O(path length) op codes are transferred.
+    """
+    P, D, M = dirs.shape
+    N = D - M + 1
+    S = M + N
+    parr = jnp.arange(P)
+
+    def step(carry, _):
+        i, j, mode, done = carry
+        active = ~done & (i >= 0) & (j >= 0)
+        byte = dirs[parr, jnp.clip(i + j, 0, D - 1), jnp.clip(i, 0, M - 1)].astype(
+            jnp.int32
+        )
+        src = byte & SRC_MASK
+        # H mode decides which run we are in; gap modes continue their run
+        e_mode = jnp.where(
+            mode == _TB_H,
+            jnp.where(src == SRC_E1, _TB_E1,
+                      jnp.where(src == SRC_E2, _TB_E2,
+                                jnp.where(src == SRC_F1, _TB_F1,
+                                          jnp.where(src == SRC_F2, _TB_F2, _TB_H)))),
+            mode,
+        )
+        is_m = e_mode == _TB_H
+        is_e = (e_mode == _TB_E1) | (e_mode == _TB_E2)
+        op = jnp.where(is_m, OP_M, jnp.where(is_e, OP_D, OP_I)).astype(jnp.uint8)
+        op = jnp.where(active, op, jnp.uint8(OP_NONE))
+        cont_bit = jnp.where(
+            e_mode == _TB_E1, CONT_E1,
+            jnp.where(e_mode == _TB_E2, CONT_E2,
+                      jnp.where(e_mode == _TB_F1, CONT_F1, CONT_F2)),
+        )
+        cont = (~is_m) & ((byte & cont_bit) != 0)
+        ni = jnp.where(active & (is_m | ~is_e), i - 1, i)
+        nj = jnp.where(active & (is_m | is_e), j - 1, j)
+        nmode = jnp.where(is_m | ~cont, _TB_H, e_mode)
+        ndone = done | (~active) | (ni < 0) | (nj < 0)
+        # when a gap run is mid-flight as we cross the border, the host
+        # residual handles the rest; mode resets naturally
+        return (ni, nj, jnp.where(active, nmode, mode), ndone), op
+
+    si = jnp.asarray(si, jnp.int32)
+    sj = jnp.asarray(sj, jnp.int32)
+    done0 = si < 0
+    (fi, fj, _, _), ops = jax.lax.scan(
+        step, (si, sj, jnp.zeros(P, jnp.int32), done0), None, length=S
+    )
+    ops = jnp.moveaxis(ops, 0, 1)  # [P, S] in back-to-front emit order
+    n_ops = (ops != OP_NONE).sum(axis=1).astype(jnp.int32)
+    return ops, n_ops, fi, fj
+
+
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "zdrop", "is_global")
+)
+def banded_align_traceback(
+    q, t, qlen, tlen, band,
+    params: DPParams = DPParams(), zdrop: int = -1, is_global: bool = True,
+):
+    """banded_align + on-device traceback in one XLA program.
+
+    The [P, D, M] direction tensor stays in HBM; only op codes, counts and
+    scalars are returned. Start cell: (qlen-1, tlen-1) for global mode, the
+    max cell for extensions (si = -1 -> nothing aligned, empty output)."""
+    res = banded_align(q, t, qlen, tlen, band, params, zdrop, is_global)
+    if is_global:
+        si = jnp.asarray(qlen, jnp.int32) - 1
+        sj = jnp.asarray(tlen, jnp.int32) - 1
+    else:
+        si, sj = res.max_i, res.max_j
+    ops, n_ops, rem_i, rem_j = traceback_device(res.dirs, si, sj)
+    return ops, n_ops, rem_i, rem_j, res.score, res.max_i, res.max_j, res.zdropped
+
+
+def rle_ops(ops_row: np.ndarray, n: int, rem_i: int, rem_j: int):
+    """Host: reverse + run-length encode a device traceback row into
+    [(op, len)] forward order, prepending residual leading gaps."""
+    ops = ops_row[:n][::-1]
+    cigar: list[tuple[int, int]] = []
+    # host traceback appends I then D back-to-front -> forward order D, I
+    if rem_j >= 0:
+        cigar.append((OP_D, rem_j + 1))
+    if rem_i >= 0:
+        cigar.append((OP_I, rem_i + 1))
+    if n:
+        change = np.flatnonzero(ops[1:] != ops[:-1]) + 1
+        bounds = np.concatenate(([0], change, [len(ops)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            op, ln = int(ops[s]), int(e - s)
+            if cigar and cigar[-1][0] == op:
+                cigar[-1] = (op, cigar[-1][1] + ln)
+            else:
+                cigar.append((op, ln))
+    return [c for c in cigar if c[1] > 0]
 
 
 def traceback_one(dirs: np.ndarray, si: int, sj: int) -> list[tuple[int, int]]:

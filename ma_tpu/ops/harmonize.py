@@ -296,6 +296,25 @@ def artifact_filter(q, l, r, valid, max_delta_dist=0.1, min_delta_dist=16):
     return out.reshape(valid.shape)
 
 
+def compact_harm(harm: HarmBatch, max_sets: int) -> HarmBatch:
+    """Gather the (few) valid harmonized sets to the front and truncate the
+    set axis to `max_sets` — shrinks the device->host transfer by ~G/max_sets
+    (most of the G = 2*K candidate sets are invalid after the heuristics)."""
+    B, G, M = harm.q_start.shape
+    order = jnp.argsort(~harm.set_valid, axis=1, stable=True)[:, :max_sets]
+    g2 = lambda a: jnp.take_along_axis(a, order, axis=1)
+    g3 = lambda a: jnp.take_along_axis(a, order[..., None], axis=1)
+    return HarmBatch(
+        q_start=g3(harm.q_start),
+        length=g3(harm.length),
+        ref_start=g3(harm.ref_start),
+        on_forward=g2(harm.on_forward),
+        valid=g3(harm.valid),
+        set_valid=g2(harm.set_valid),
+        soc_of=g2(harm.soc_of),
+    )
+
+
 def harmonization(
     soc: SoCBatch,
     qlen: jax.Array,  # int32 [B]

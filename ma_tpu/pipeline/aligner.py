@@ -36,7 +36,7 @@ from ma_tpu.containers.pack import Pack
 from ma_tpu.index.fmd_index import FMDIndex
 from ma_tpu.io.sam import SamWriter
 from ma_tpu.ops.extract import extract_seeds
-from ma_tpu.ops.harmonize import HarmBatch, harmonization
+from ma_tpu.ops.harmonize import HarmBatch, compact_harm, harmonization
 from ma_tpu.ops.occ import FMDDev
 from ma_tpu.ops.seeding import max_spanning_seeding, smem_seeding
 from ma_tpu.ops.soc import SoCBatch, soc_collect
@@ -60,6 +60,8 @@ class DeviceStageConfig:
     """
 
     seeding_technique: str
+    mm_k: int
+    mm_w: int
     max_segs: int
     max_seeds: int
     max_socs_collect: int
@@ -84,6 +86,7 @@ class DeviceStageConfig:
     max_lookahead: int
     max_delta_dist: float
     min_delta_dist: int
+    max_out_sets: int = 8
 
     @classmethod
     def from_params(cls, pset: ParameterSet, padded_len: int) -> "DeviceStageConfig":
@@ -92,6 +95,8 @@ class DeviceStageConfig:
         max_socs = int(g("Maximal Number of SoCs"))
         return cls(
             seeding_technique=str(g("Seeding Technique")),
+            mm_k=int(g("Minimizers - k")),
+            mm_w=int(g("Minimizers - w")),
             max_segs=_next_pow2(max(64, L // 4)),
             max_seeds=_next_pow2(max(256, L * 2)),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
@@ -117,6 +122,68 @@ class DeviceStageConfig:
             max_delta_dist=float(g("Artifact Filter A - Maximal Delta Distance")),
             min_delta_dist=int(g("Artifact Filter B - Minimal Delta Distance")),
         )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def device_stage_mm(
+    cfg: "DeviceStageConfig",
+    mmi,  # MinimizerIndexDev
+    contig_starts: jax.Array,
+    ref_len_forward: int,
+    seqs: jax.Array,
+    lens: jax.Array,
+) -> Tuple[HarmBatch, SoCBatch]:
+    """Minimizer fast path: sketch + one batched sorted-array lookup replaces
+    the sequential FM chain (the TPU-native throughput path; reference
+    equivalent: MinimizerSeeding -> SeedLumping -> StripOfConsiderationSeeds,
+    computeSvJumps.py:52-86 uses the same shape).
+    """
+    from ma_tpu.index.minimizer import minimizer_seeding
+    from ma_tpu.ops.filters import min_length, seed_lump
+
+    seeds = minimizer_seeding(
+        mmi,
+        seqs,
+        lens,
+        contig_starts,
+        ref_len_forward,
+        k=cfg.mm_k,
+        w=cfg.mm_w,
+        max_occ=cfg.max_ambiguity,
+        max_seeds=cfg.max_seeds,
+        rectangular=cfg.rectangular,
+    )
+    seeds = seed_lump(seeds)
+    seeds = min_length(seeds, cfg.min_seed_len)
+    soc = soc_collect(
+        seeds,
+        lens,
+        contig_starts,
+        match=cfg.match,
+        extend=cfg.extend,
+        gap=cfg.gap,
+        fixed_width=cfg.fixed_soc_width,
+        rectangular=cfg.rectangular,
+        max_socs=cfg.max_socs_collect,
+    )
+    harm = harmonization(
+        soc,
+        lens,
+        text_len=2 * ref_len_forward,
+        max_socs=cfg.max_socs_harm,
+        min_socs=cfg.min_socs,
+        seeds_per_soc=cfg.seeds_per_soc,
+        do_heuristics=cfg.do_heuristics,
+        switch_qlen=cfg.switch_qlen,
+        score_tolerance=cfg.score_tolerance,
+        harm_score_min=cfg.harm_score_min,
+        harm_score_min_rel=cfg.harm_score_min_rel,
+        score_diff_tolerance=cfg.score_diff_tolerance,
+        max_lookahead=cfg.max_lookahead,
+        max_delta_dist=cfg.max_delta_dist,
+        min_delta_dist=cfg.min_delta_dist,
+    )
+    return compact_harm(harm, cfg.max_out_sets), soc
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -177,7 +244,7 @@ def device_stage(
         max_delta_dist=cfg.max_delta_dist,
         min_delta_dist=cfg.min_delta_dist,
     )
-    return harm, soc
+    return compact_harm(harm, cfg.max_out_sets), soc
 
 
 class Aligner:
@@ -201,6 +268,18 @@ class Aligner:
         self.contig_starts = jnp.asarray(np.asarray(pack.starts, np.int32))
         self.sharding = sharding  # optional jax.sharding.NamedSharding for [B, L]
         self.nw_cfg = NWConfig(self.pset)
+        self._mmi_dev = None
+
+    def mmi_dev(self, cfg):
+        """Lazily build (or reuse) the device minimizer index."""
+        if self._mmi_dev is None:
+            from ma_tpu.index.minimizer import MinimizerIndex
+
+            mmi = getattr(self.fmd_host, "_mmi_cache", None)
+            if mmi is None or mmi.k != cfg.mm_k or mmi.w != cfg.mm_w:
+                mmi = MinimizerIndex.build(self.pack, k=cfg.mm_k, w=cfg.mm_w)
+            self._mmi_dev = mmi.to_device()
+        return self._mmi_dev
 
     # ----------------------------------------------------------------- device
     def run_device_stage(self, seqs: np.ndarray, lens: np.ndarray):
@@ -208,6 +287,11 @@ class Aligner:
         cfg = DeviceStageConfig.from_params(self.pset, seqs.shape[1])
         seqs_j = jnp.asarray(seqs)
         lens_j = jnp.asarray(lens, jnp.int32)
+        if cfg.seeding_technique == "minimizers":
+            return device_stage_mm(
+                cfg, self.mmi_dev(cfg), self.contig_starts,
+                self.pack.unpacked_size_forward_strand, seqs_j, lens_j,
+            )
         if self.sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 

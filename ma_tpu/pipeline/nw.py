@@ -38,7 +38,7 @@ from ma_tpu.containers.alignment import (
     SEED,
 )
 from ma_tpu.containers.pack import Pack
-from ma_tpu.ops.dp import DPParams, banded_align, traceback_one, OP_M, OP_I, OP_D
+from ma_tpu.ops.dp import (DPParams, banded_align, banded_align_traceback, rle_ops, OP_M, OP_I, OP_D)
 
 
 def _next_pow2(n: int, lo: int = 8) -> int:
@@ -237,23 +237,30 @@ class NWAligner:
                 qa[k, : len(p.q)] = p.q
                 ta[k, : len(p.t)] = p.t
                 qlen[k], tlen[k], band[k] = len(p.q), len(p.t), p.band
-            res = banded_align(
-                jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(qlen),
-                jnp.asarray(tlen), jnp.asarray(band), cfg.params,
-                zdrop=-1 if is_global else cfg.zdrop, is_global=is_global,
+            ops_d, n_ops_d, rem_i_d, rem_j_d, _scr, max_i, max_j, _zd = (
+                banded_align_traceback(
+                    jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(qlen),
+                    jnp.asarray(tlen), jnp.asarray(band), params=cfg.params,
+                    zdrop=-1 if is_global else cfg.zdrop, is_global=is_global,
+                )
             )
-            dirs = np.asarray(res.dirs)
-            max_i = np.asarray(res.max_i)
-            max_j = np.asarray(res.max_j)
+            ops = np.asarray(ops_d)
+            n_ops = np.asarray(n_ops_d)
+            rem_i = np.asarray(rem_i_d)
+            rem_j = np.asarray(rem_j_d)
+            max_i = np.asarray(max_i)
+            max_j = np.asarray(max_j)
             for k, i in enumerate(idxs):
                 p = self._problems[i]
                 if is_global:
-                    p.cigar = traceback_one(dirs[k], len(p.q) - 1, len(p.t) - 1)
                     p.max_i, p.max_j = len(p.q) - 1, len(p.t) - 1
+                    p.cigar = rle_ops(ops[k], int(n_ops[k]), int(rem_i[k]),
+                                      int(rem_j[k]))
                 else:
                     p.max_i, p.max_j = int(max_i[k]), int(max_j[k])
                     if p.max_i >= 0:
-                        p.cigar = traceback_one(dirs[k], p.max_i, p.max_j)
+                        p.cigar = rle_ops(ops[k], int(n_ops[k]), int(rem_i[k]),
+                                          int(rem_j[k]))
                     else:
                         p.cigar = []
 

@@ -84,11 +84,11 @@ def test_reverse_read_seeds(setup):
     assert len(ss) >= 5
     rev = [s for s in ss if not s[3]]
     assert len(rev) >= len(ss) * 0.8
-    # reverse seed: ref_start is the mirrored (largest) coordinate;
-    # q_start counts from the read start on the reverse-complement read.
-    # last base of k-mer at ref position rpos maps to read pos L-1-(rpos-p)
+    # reverse seed invariant: read[q+j] == complement(genome[r-j])
     for (q, l, r, fw) in rev:
         assert p <= r < p + 150
+        for j in range(l):
+            assert read[q + j] == 3 - genome[r - j]
 
 def test_seed_lump_merges_diagonal_runs(setup):
     pack, idx, genome = setup
