@@ -1,0 +1,201 @@
+"""Plane-sweep clustering of SV jumps into calls.
+
+Re-design of the reference sweep modules
+(reference: libs/msv/inc/msv/module/sweepSvJumps.h
+CompleteBipartiteSubgraphSweep:82-270 — coarse active-cluster sweep over
+jump rectangles, ExactCompleteBipartiteSubgraphSweep:274-480 — exact
+re-sweep with per-read jump dedup and cluster-size re-estimation — and the
+call filters :488-700; cluster join/reestimate semantics from
+libs/msv/inc/msv/container/svJump.h SvCall:556-768).
+
+The SQL fetch becomes an in-memory sorted jump list; the genome-section
+work units (GenomeSectionFactory) are unnecessary since the sweep is a
+single pass here — data parallelism can shard by strand-section instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ma_tpu.msv.calls import SvCall
+from ma_tpu.msv.jumps import SvJump
+
+
+@dataclasses.dataclass
+class _Cluster:
+    x_start: int
+    x_end: int
+    y_start: int
+    y_end: int
+    from_forward: bool
+    to_forward: bool
+    dummy: bool
+    jumps: List[SvJump]
+    open_edges: int
+    supp_nt: int
+    mirrored: bool
+
+    def join(self, other: "_Cluster") -> None:
+        self.x_start = min(self.x_start, other.x_start)
+        self.x_end = max(self.x_end, other.x_end)
+        self.y_start = min(self.y_start, other.y_start)
+        self.y_end = max(self.y_end, other.y_end)
+        self.jumps.extend(other.jumps)
+        self.open_edges += other.open_edges
+        self.supp_nt += other.supp_nt
+
+
+def _cluster_from_jump(j: SvJump) -> _Cluster:
+    y_end = j.sweep_end() if not j.switch_strand_known() else j.to_end()
+    # tail edges become squares (exact sweep, sweepSvJumps.h:339-341)
+    return _Cluster(
+        x_start=j.from_start(),
+        x_end=j.from_end(),
+        y_start=j.to_start(),
+        y_end=y_end,
+        from_forward=j.from_forward,
+        to_forward=j.to_forward,
+        dummy=j.is_dummy(),
+        jumps=[j],
+        open_edges=1,
+        supp_nt=j.num_supporting_nt,
+        mirrored=j.was_mirrored,
+    )
+
+
+def _sweep_fast(jumps: Sequence[SvJump]) -> List[_Cluster]:
+    """Same semantics as _sweep_once with O(n log n) bookkeeping."""
+    if not jumps:
+        return []
+    idx_of = {id(j): i for i, j in enumerate(jumps)}
+    events = []
+    for i, j in enumerate(jumps):
+        events.append((j.from_start(), 0, i))
+        events.append((j.from_end(), 1, i))
+    events.sort(key=lambda t: (t[0], t[1]))
+    owner: List[Optional[_Cluster]] = [None] * len(jumps)
+    active: List[_Cluster] = []
+    done: List[_Cluster] = []
+    for (_, is_end, i) in events:
+        j = jumps[i]
+        if not is_end:
+            c = _cluster_from_jump(j)
+            owner[i] = c
+            keep = []
+            for a in active:
+                if a.y_start <= c.y_end and c.y_start <= a.y_end:
+                    c.join(a)
+                    for jj in a.jumps:
+                        owner[idx_of[id(jj)]] = c
+                else:
+                    keep.append(a)
+            keep.append(c)
+            active = keep
+        else:
+            c = owner[i]
+            c.open_edges -= 1
+            if c.open_edges == 0:
+                active.remove(c)
+                done.append(c)
+    return done
+
+
+def _reestimate(c: _Cluster) -> Tuple[int, int]:
+    """reEstimateClusterSize (svJump.h:664-703): percentile breakpoint
+    estimate from member jump endpoints."""
+    horizontal, vertical = [], []
+    for j in c.jumps:
+        if not j.from_known():
+            vertical.append(j.to_pos)
+        elif not j.to_known():
+            horizontal.append(j.from_pos)
+        else:
+            horizontal.append(j.from_pos)
+            vertical.append(j.to_pos)
+    horizontal.sort()
+    vertical.sort()
+    if c.dummy:
+        ui, uj = len(horizontal), 0
+        umin, umax = 1, 0
+        while umin > umax and ui > 0 and uj < len(vertical):
+            umin = horizontal[ui - 1]
+            umax = vertical[uj]
+            ui -= 1
+            uj += 1
+        if ui == 0 or uj == len(vertical):
+            if ui == 0 and vertical:
+                pos = vertical[int(len(vertical) * 0.05)]
+            elif horizontal:
+                pos = horizontal[int(len(horizontal) * 0.95)]
+            else:
+                pos = 0
+        else:
+            pos = (umin + umax) // 2
+        return pos, pos
+    x = horizontal[int(len(horizontal) * (0.95 if c.from_forward else 0.05))]
+    y = vertical[int(len(vertical) * (0.05 if c.to_forward else 0.95))]
+    return x, y
+
+
+def _finalize(c: _Cluster, min_reads: int) -> Optional[SvCall]:
+    # per-read dedup keeping the smallest query distance (exact sweep,
+    # sweepSvJumps.h:389-409)
+    best = {}
+    for j in sorted(c.jumps, key=lambda j: j.query_distance()):
+        if j.read_id not in best:
+            best[j.read_id] = j
+    jumps = list(best.values())
+    if len(jumps) < min_reads:
+        return None
+    c.jumps = jumps
+    x, y = _reestimate(c)
+    return SvCall(
+        from_pos=x,
+        to_pos=y,
+        from_size=0,
+        to_size=0,
+        from_forward=c.from_forward,
+        to_forward=c.to_forward,
+        supp_reads=len(jumps),
+        supp_nt=sum(j.num_supporting_nt for j in jumps),
+        supporting_jump_ids=[j.id for j in jumps],
+        mirrored=c.mirrored and all(j.was_mirrored for j in jumps),
+    )
+
+
+def sweep_jumps(jumps: Sequence[SvJump], min_reads: int = 2) -> List[SvCall]:
+    """Full clustering: coarse sweep -> exact re-sweep per coarse cluster ->
+    per-read dedup + breakpoint re-estimation -> min-support filter."""
+    calls: List[SvCall] = []
+    for coarse in _sweep_fast(jumps):
+        for exact in _sweep_fast(coarse.jumps):
+            call = _finalize(exact, min_reads)
+            if call is not None:
+                calls.append(call)
+    calls.sort(key=lambda c: (c.from_pos, c.to_pos))
+    return calls
+
+
+# ----------------------------------------------------------------- filters
+def filter_low_support_short_calls(
+    calls: List[SvCall], max_supp_nt: int = 10, max_call_size: int = 20
+) -> List[SvCall]:
+    """FilterLowSupportShortCalls (sweepSvJumps.h:488): diagonal noise —
+    drop short calls with low supporting-nt."""
+    out = []
+    for c in calls:
+        size = abs(c.to_pos - c.from_pos)
+        if c.supp_nt / max(c.supp_reads, 1) <= max_supp_nt and size <= max_call_size:
+            continue
+        out.append(c)
+    return out
+
+
+def filter_fuzzy_calls(calls: List[SvCall], max_fuzziness: int = 50) -> List[SvCall]:
+    """FilterFuzzyCalls (sweepSvJumps.h:528): drop calls whose rectangle is
+    wider than the fuzziness cap."""
+    return [
+        c for c in calls if c.from_size <= max_fuzziness and c.to_size <= max_fuzziness
+    ]
