@@ -30,6 +30,7 @@ from ma_tpu.msv.sweep import (
     filter_low_support_short_calls,
     sweep_jumps,
 )
+from ma_tpu.ops.extend_host import extend_seeds
 from ma_tpu.ops.filters import min_length, seed_lump
 
 
@@ -92,6 +93,9 @@ def compute_sv_jumps(
                 (int(q[b, m]), int(l[b, m]), int(r_[b, m]), bool(fw[b, m]), nt)
                 for m in mm
             ]
+            # maximal extension sharpens breakpoints (SeedLumping applies
+            # SeedExtender in the reference, seedFilters.h:265-290)
+            seeds = extend_seeds(seeds, chunk[b].codes, pack)
             rj = compute_jumps(seeds, len(chunk[b]), read_id=s + b, params=params)
             for j in rj:
                 j.id = next_id

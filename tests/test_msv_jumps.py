@@ -137,3 +137,42 @@ def test_end_to_end_inversion_call(sv_genome):
     ) or any(
         abs(c.from_pos - 20000) < 40 and abs(c.to_pos - 21000) < 40 for c in sw
     ), [(c.from_pos, c.to_pos) for c in sw]
+
+
+def test_seed_extension_sharpens_breakpoints(sv_genome):
+    from ma_tpu.ops.extend_host import extend_seeds
+
+    pack, mmi, genome = sv_genome
+    donor = np.concatenate([genome[:10000], genome[10800:]])
+    reads = tile_reads(donor)
+    jumps = compute_sv_jumps(reads, pack, mmi)
+    calls = sweep_sv_jumps(jumps, min_reads=3)
+    dels = [
+        c for c in calls
+        if c.from_forward and c.to_forward and abs(c.from_pos - 9999) < 30
+        and abs(c.to_pos - 10800) < 30
+    ]
+    assert dels
+    # with extension the breakpoints are exact up to micro-homology (bases
+    # past the breakpoint that happen to match both sides extend the seed;
+    # the reference behaves identically)
+    assert abs(dels[0].from_pos - 9999) <= 4, dels[0]
+    assert abs(dels[0].to_pos - 10800) <= 4, dels[0]
+
+
+def test_extend_seeds_exact():
+    from ma_tpu.ops.extend_host import extend_seeds
+
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, 2000).astype(np.uint8)
+    pack = Pack.empty()
+    pack.append("e", genome)
+    read = genome[100:300].copy()
+    # forward seed in the middle extends to the full read
+    out = extend_seeds([(50, 20, 150, True, 0)], read, pack)
+    assert out == [(0, 200, 100, True, 0)]
+    # reverse seed: read = revcomp(genome[700:900])
+    rread = revcomp_codes(genome[700:900])
+    # seed covering rread[80:100] -> genome last coord = 899-80 = 819
+    out = extend_seeds([(80, 20, 819, False, 0)], rread, pack)
+    assert out == [(0, 200, 899, False, 0)]
