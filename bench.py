@@ -57,6 +57,10 @@ def main():
     aligner = Aligner(pack, fmd)
     tech = os.environ.get("MA_TPU_BENCH_TECH", "minimizers")
     aligner.pset.set("Seeding Technique", tech)
+    if os.environ.get("MA_TPU_PROFILE"):
+        from ma_tpu.utils.profile import AnalyzeRuntimes
+
+        aligner.profiler = AnalyzeRuntimes()
 
     # warmup: compile the device stage on the bucket shape
     warm = reads[: min(batch, n_reads)]
@@ -90,6 +94,8 @@ def main():
         f"aligned_warm={n_aligned}/{len(warm)} total={total} wall={dt:.2f}s",
         file=sys.stderr,
     )
+    if aligner.profiler is not None:
+        aligner.profiler.analyze(out=sys.stderr)
 
 
 if __name__ == "__main__":

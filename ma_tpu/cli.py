@@ -213,6 +213,10 @@ def run_alignment(
     pack = Pack.load(index_prefix)
     fmd = FMDIndex.load(index_prefix)
     aligner = Aligner(pack, fmd, mgr)
+    if os.environ.get("MA_TPU_PROFILE"):
+        from ma_tpu.utils.profile import AnalyzeRuntimes
+
+        aligner.profiler = AnalyzeRuntimes()
     cmd = "ma-tpu " + " ".join(sys.argv[1:])
 
     def all_reads(paths):
@@ -237,6 +241,8 @@ def run_alignment(
     dt = time.perf_counter() - t0
     print(f"done. {n} reads in {dt:.1f}s ({n / max(dt, 1e-9):.0f} reads/s)",
           file=sys.stderr)
+    if aligner.profiler is not None:
+        aligner.profiler.analyze(out=sys.stderr)
     return 0
 
 

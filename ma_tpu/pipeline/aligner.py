@@ -42,6 +42,7 @@ from ma_tpu.ops.seeding import max_spanning_seeding, smem_seeding
 from ma_tpu.ops.soc import SoCBatch, soc_collect
 from ma_tpu.pipeline.nw import NWAligner, NWConfig
 from ma_tpu.pipeline.quality import mapping_quality
+from ma_tpu.utils.profile import AnalyzeRuntimes, stage_timer
 
 
 def _next_pow2(n: int, lo: int = 32) -> int:
@@ -269,6 +270,7 @@ class Aligner:
         self.sharding = sharding  # optional jax.sharding.NamedSharding for [B, L]
         self.nw_cfg = NWConfig(self.pset)
         self._mmi_dev = None
+        self.profiler: AnalyzeRuntimes | None = None
 
     def mmi_dev(self, cfg):
         """Lazily build (or reuse) the device minimizer index."""
@@ -314,7 +316,9 @@ class Aligner:
         for i, r in enumerate(reads):
             seqs[i, : len(r)] = r.codes
             lens[i] = len(r)
-        harm, soc = self.run_device_stage(seqs, lens)
+        with stage_timer(self.profiler, "device seed+soc+harmonize"):
+            harm, soc = self.run_device_stage(seqs, lens)
+            jax.block_until_ready(harm)
         return self.finish_batch(reads, harm)
 
     def finish_batch(
@@ -330,6 +334,8 @@ class Aligner:
         hsv = np.asarray(harm.set_valid)
         hsoc = np.asarray(harm.soc_of)
         plans: List[Tuple[int, int, tuple]] = []
+        t_plan = stage_timer(self.profiler, "host DP planning")
+        t_plan.__enter__()
         for b in range(len(reads)):
             codes = reads[b].codes
             for gset in np.nonzero(hsv[b])[0]:
@@ -343,14 +349,17 @@ class Aligner:
                 out = nw.plan_set(codes, ss)
                 if out is not None:
                     plans.append((b, int(hsoc[b, gset]), out))
-        nw.run_batches()
+        t_plan.__exit__(None, None, None)
+        with stage_timer(self.profiler, "device banded DP + traceback"):
+            nw.run_batches()
         per_read: List[List[Alignment]] = [[] for _ in reads]
-        for (b, strip, out) in plans:
-            plan, begin_ref, ref = out
-            aln = nw.assemble(plan, begin_ref, ref, reads[b].codes)
-            aln.stats.index_of_strip = strip
-            aln.stats.name = reads[b].name
-            per_read[b].append(aln)
+        with stage_timer(self.profiler, "host CIGAR assembly"):
+            for (b, strip, out) in plans:
+                plan, begin_ref, ref = out
+                aln = nw.assemble(plan, begin_ref, ref, reads[b].codes)
+                aln.stats.index_of_strip = strip
+                aln.stats.name = reads[b].name
+                per_read[b].append(aln)
         result = []
         for b, alns in enumerate(per_read):
             result.append(

@@ -121,3 +121,19 @@ def test_multi_contig_alignment():
         a = alns[0]
         assert a.contig(pack) == f"ctg{ci}"
         assert a.sam_position(pack) - 1 == p
+
+
+def test_profiler_collects_stage_times(small_genome):
+    from ma_tpu.utils.profile import AnalyzeRuntimes
+
+    pack, fmd, genome = small_genome
+    reads, truth = simulate_reads(genome, 8, 100, 0.01, seed=31)
+    aligner = Aligner(pack, fmd)
+    aligner.profiler = AnalyzeRuntimes()
+    aligner.align_batch(reads)
+    stages = dict(aligner.profiler.times)
+    assert "device seed+soc+harmonize" in stages
+    assert "device banded DP + traceback" in stages
+    assert all(v >= 0 for v in stages.values())
+    table = aligner.profiler.analyze()
+    assert "ratio" in table
