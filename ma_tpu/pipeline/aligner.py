@@ -126,6 +126,61 @@ class DeviceStageConfig:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def device_stage_from_seeds(
+    cfg: "DeviceStageConfig",
+    contig_starts: jax.Array,
+    ref_len_forward,
+    seeds,  # SeedBatch (delta may be unset; recomputed here)
+    lens: jax.Array,
+) -> Tuple[HarmBatch, SoCBatch]:
+    """SoC + harmonization from an externally built SeedBatch (host MEM
+    seeding path; also the generic hook for custom seeders)."""
+    from ma_tpu.ops.extract import compute_delta
+
+    delta = compute_delta(
+        seeds.q_start,
+        seeds.length,
+        seeds.ref_start,
+        seeds.on_forward,
+        lens[:, None],
+        contig_starts,
+        ref_len_forward,
+        cfg.rectangular,
+    )
+    INT_MAX = jnp.int32(2**31 - 1)
+    seeds = seeds._replace(delta=jnp.where(seeds.valid, delta, INT_MAX))
+    soc = soc_collect(
+        seeds,
+        lens,
+        contig_starts,
+        match=cfg.match,
+        extend=cfg.extend,
+        gap=cfg.gap,
+        fixed_width=cfg.fixed_soc_width,
+        rectangular=cfg.rectangular,
+        max_socs=cfg.max_socs_collect,
+    )
+    harm = harmonization(
+        soc,
+        lens,
+        text_len=2 * ref_len_forward,
+        max_socs=cfg.max_socs_harm,
+        min_socs=cfg.min_socs,
+        seeds_per_soc=cfg.seeds_per_soc,
+        do_heuristics=cfg.do_heuristics,
+        switch_qlen=cfg.switch_qlen,
+        score_tolerance=cfg.score_tolerance,
+        harm_score_min=cfg.harm_score_min,
+        harm_score_min_rel=cfg.harm_score_min_rel,
+        score_diff_tolerance=cfg.score_diff_tolerance,
+        max_lookahead=cfg.max_lookahead,
+        max_delta_dist=cfg.max_delta_dist,
+        min_delta_dist=cfg.min_delta_dist,
+    )
+    return compact_harm(harm, cfg.max_out_sets), soc
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def device_stage_mm(
     cfg: "DeviceStageConfig",
     mmi,  # MinimizerIndexDev
@@ -272,6 +327,45 @@ class Aligner:
         self._mmi_dev = None
         self.profiler: AnalyzeRuntimes | None = None
 
+    def _mem_seed_batch(self, seqs: np.ndarray, lens: np.ndarray, cfg):
+        """Host MEM seeding -> SeedBatch (memExtension is an O(L^2) host
+        comparison mode; see ma_tpu/ops/mem_seeding.py)."""
+        from ma_tpu.ops.extract import SeedBatch
+        from ma_tpu.ops.mem_seeding import materialize_mem_seeds, mem_seeding
+
+        B = seqs.shape[0]
+        S = cfg.max_seeds
+        q = np.zeros((B, S), np.int32)
+        l = np.zeros((B, S), np.int32)
+        r = np.zeros((B, S), np.int32)
+        fw = np.zeros((B, S), bool)
+        amb = np.zeros((B, S), np.int32)
+        valid = np.zeros((B, S), bool)
+        n_seeds = np.zeros(B, np.int32)
+        overflow = np.zeros(B, bool)
+        for b in range(B):
+            segs = mem_seeding(
+                self.fmd_host, seqs[b, : lens[b]],
+                min_seed_size=cfg.min_seed_len - 1,
+                min_ambiguity=cfg.min_ambiguity,
+                max_ambiguity=cfg.max_ambiguity,
+            )
+            tuples = materialize_mem_seeds(self.fmd_host, segs, cfg.max_ambiguity)
+            if len(tuples) > S:
+                overflow[b] = True
+                tuples = tuples[:S]
+            for m, (qs, ln, rs, f, a) in enumerate(tuples):
+                q[b, m], l[b, m], r[b, m], fw[b, m], amb[b, m] = qs, ln, rs, f, a
+                valid[b, m] = True
+            n_seeds[b] = len(tuples)
+        z = jnp.zeros((B, S), jnp.int32)
+        return SeedBatch(
+            q_start=jnp.asarray(q), length=jnp.asarray(l), ref_start=jnp.asarray(r),
+            on_forward=jnp.asarray(fw), ambiguity=jnp.asarray(amb),
+            delta=z, soc_nt=z, valid=jnp.asarray(valid),
+            n_seeds=jnp.asarray(n_seeds), overflow=jnp.asarray(overflow),
+        )
+
     def mmi_dev(self, cfg):
         """Lazily build (or reuse) the device minimizer index."""
         if self._mmi_dev is None:
@@ -293,6 +387,12 @@ class Aligner:
             return device_stage_mm(
                 cfg, self.mmi_dev(cfg), self.contig_starts,
                 self.pack.unpacked_size_forward_strand, seqs_j, lens_j,
+            )
+        if cfg.seeding_technique == "MEMs":
+            return device_stage_from_seeds(
+                cfg, self.contig_starts,
+                self.pack.unpacked_size_forward_strand,
+                self._mem_seed_batch(seqs, lens, cfg), lens_j,
             )
         if self.sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
