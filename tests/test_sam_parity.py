@@ -1,0 +1,100 @@
+"""SAM parity vs the reference maCMD binary (BASELINE.md target).
+
+Runs both aligners on the same genome + reads and compares primary
+placements and CIGARs. Skipped when the reference binary (built out of
+tree, see BASELINE.md) is unavailable.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REF_BIN = os.environ.get("MA_REF_BIN", "/tmp/refbuild/maCMD")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_BIN), reason="reference maCMD binary not built"
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from ma_tpu.containers.nucseq import decode_seq
+    d = tmp_path_factory.mktemp("parity")
+    rng = np.random.default_rng(777)
+    G = 100_000
+    genome = rng.integers(0, 4, size=G).astype(np.uint8)
+    seq = decode_seq(genome)
+    fa = d / "genome.fa"
+    with open(fa, "w") as f:
+        f.write(">chrP\n")
+        for i in range(0, G, 80):
+            f.write(seq[i : i + 80] + "\n")
+    comp = str.maketrans("ACGT", "TGCA")
+    reads, truth = [], []
+    with open(d / "reads.fq", "w") as f:
+        for i in range(64):
+            p = int(rng.integers(0, G - 150))
+            s = seq[p : p + 150]
+            sl = list(s)
+            for j in np.nonzero(rng.random(150) < 0.01)[0]:
+                sl[j] = "ACGT"[("ACGT".index(sl[j]) + 1) % 4]
+            s = "".join(sl)
+            if i % 2:
+                s = s.translate(comp)[::-1]
+            f.write(f"@p{i}\n{s}\n+\n{'I' * 150}\n")
+            truth.append((p, bool(i % 2)))
+    return d, truth
+
+
+def parse_primaries(path):
+    out = {}
+    for line in open(path):
+        if line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        flag = int(f[1])
+        if flag & 0x100 or flag & 0x800:
+            continue
+        out[f[0]] = (f[2], int(f[3]), flag & 0x10, f[5])
+    return out
+
+
+def test_primary_placement_parity(dataset):
+    d, truth = dataset
+    # reference
+    subprocess.run(
+        [REF_BIN, "--Create_Index", f"{d}/genome.fa,{d},refidx"],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        [REF_BIN, "-x", f"{d}/refidx.json", "-i", f"{d}/reads.fq",
+         "-o", f"{d}/ref.sam", "-t", "2"],
+        check=True, capture_output=True,
+    )
+    # ours
+    from ma_tpu.cli import main
+
+    assert main(["--Create_Index", f"{d}/genome.fa,{d},ouridx"]) == 0
+    assert main(["-x", f"{d}/ouridx", "-i", f"{d}/reads.fq",
+                 "-o", f"{d}/our.sam"]) == 0
+
+    ref = parse_primaries(f"{d}/ref.sam")
+    our = parse_primaries(f"{d}/our.sam")
+    assert len(ref) >= 60 and len(our) >= 60
+
+    same_pos = 0
+    same_cigar = 0
+    both = set(ref) & set(our)
+    for name in both:
+        if ref[name][:3] == our[name][:3]:
+            same_pos += 1
+            if ref[name][3] == our[name][3]:
+                same_cigar += 1
+    # primary placements must agree on (contig, pos, strand)
+    assert same_pos >= len(both) - 2, (
+        same_pos, len(both),
+        {n: (ref[n], our[n]) for n in both if ref[n][:3] != our[n][:3]},
+    )
+    # CIGARs largely identical (tie-breaking in DP may differ at indels)
+    assert same_cigar >= same_pos * 0.9, (same_cigar, same_pos)
