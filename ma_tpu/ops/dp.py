@@ -87,6 +87,12 @@ def banded_align(
     ii = jnp.arange(M, dtype=jnp.int32)  # query index lane
 
     def one(qv, tv, m, n, w):
+        # per-diagonal target chars tv[d - i] as a contiguous dynamic slice
+        # of the reversed target (gathers are slow on TPU; slices are not):
+        # out[i] = tv[d-i] = rev(tv)[N-1-d+i] -> slice at (M-1) + (N-1-d)
+        rtp = jnp.concatenate(
+            [jnp.full((M - 1,), 4, tv.dtype), tv[::-1], jnp.full((M,), 4, tv.dtype)]
+        )
         def step(carry, d):
             h1, h2, e1, e2, f1, f2, gmax, gi, gj, scr, dropped = carry
             jv = d - ii  # ref index per lane
@@ -122,7 +128,7 @@ def banded_align(
                     jnp.where(ii == 0, gap_cost(jv), gap_cost(ii)),
                 ),
             )
-            tc = tv[jnp.clip(jv, 0, N - 1)]
+            tc = jax.lax.dynamic_slice(rtp, (M - 1 + N - 1 - d,), (M,))
             sc = _score_cell(qv, tc, params.match, params.mismatch)
             hd = diag_prev + sc
 
