@@ -213,25 +213,42 @@ class NWAligner:
                            end_ref - begin_ref - 1, False, True)
         return plan, begin_ref, ref
 
+    # fixed (M, N) bucket ladder: problems round up to one of these, so the
+    # jitted DP program compiles for a handful of shapes ever (data-dependent
+    # per-batch shapes caused a recompile per new shape = tens of seconds on
+    # TPU, dwarfing the actual DP work)
+    BUCKETS = [
+        (16, 64), (32, 128), (64, 256), (128, 512), (256, 1024),
+        (512, 2048), (1024, 4096), (2048, 8192), (4096, 16384),
+        (8192, 32768), (16384, 65536),
+    ]
+
+    @classmethod
+    def _bucket_shape(cls, m: int, n: int):
+        for (M, N) in cls.BUCKETS:
+            if m <= M and n <= N:
+                return (M, N)
+        M = _next_pow2(m)
+        return (M, _next_pow2(max(n, 4 * M)))
+
     # ------------------------------------------------------------ execution
     def run_batches(self):
         """Solve all planned DP problems with bucketed device calls."""
         cfg = self.cfg
         buckets: Dict[tuple, List[int]] = {}
         for i, p in enumerate(self._problems):
-            key = (
-                _next_pow2(max(len(p.q), 1)),
-                _next_pow2(max(len(p.t), 1)),
-                p.is_global,
-            )
+            M, N = self._bucket_shape(max(len(p.q), 1), max(len(p.t), 1))
+            key = (M, N, p.is_global)
             buckets.setdefault(key, []).append(i)
         for (M, N, is_global), idxs in buckets.items():
-            P = len(idxs)
+            # pad the problem count to a power of two as well — every array
+            # dimension must come from a small fixed set or jit recompiles
+            P = _next_pow2(len(idxs), lo=8)
             qa = np.full((P, M), 4, np.uint8)
             ta = np.full((P, N), 4, np.uint8)
-            qlen = np.zeros(P, np.int32)
-            tlen = np.zeros(P, np.int32)
-            band = np.zeros(P, np.int32)
+            qlen = np.ones(P, np.int32)
+            tlen = np.ones(P, np.int32)
+            band = np.ones(P, np.int32)
             for k, i in enumerate(idxs):
                 p = self._problems[i]
                 qa[k, : len(p.q)] = p.q
