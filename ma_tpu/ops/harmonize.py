@@ -221,7 +221,7 @@ def _linesweep(starts, ends, dists, seed_idx, valid):
     return surv
 
 
-def harmonize_sets(q, l, r, valid):
+def harmonize_sets(q, l, r, valid, n_cand: int = 8):
     """harmonizeOne (harmonization.cpp:251-370) batched over leading dims.
 
     q/l/r int32 [..., M] (r in text coords), valid bool. Returns a new valid
@@ -229,7 +229,7 @@ def harmonize_sets(q, l, r, valid):
     """
     M = q.shape[-1]
     cnt = valid.sum(axis=-1)
-    angle, rstart, mad = _fit_guide_line(q, l, r, valid)
+    angle, rstart, mad = _fit_guide_line(q, l, r, valid, n_cand=n_cand)
     dist = _delta_distance(q.astype(jnp.float32), r.astype(jnp.float32), angle[..., None],
                            rstart[..., None])
     kept = valid & (dist <= mad[..., None])  # outlier removal
@@ -322,6 +322,7 @@ def harmonization(
     max_socs: int = 30,  # uiMaxTries = Maximal Number of SoCs
     min_socs: int = 1,  # uiMinTries = Minimal Number of SoCs
     seeds_per_soc: int = 64,
+    n_cand: int = 8,
     do_heuristics: bool = True,
     switch_qlen: int = 800,
     score_tolerance: float = 0.1,
@@ -367,7 +368,7 @@ def harmonization(
     r2 = jnp.stack([ref, ref_rev], axis=2)
     va2 = jnp.stack([va & fw, va & ~fw], axis=2)
 
-    harm_valid = harmonize_sets(q2, l2, r2, va2)
+    harm_valid = harmonize_sets(q2, l2, r2, va2, n_cand=n_cand)
     harm_score = jnp.where(harm_valid, l2, 0).sum(axis=(-2, -1))  # [B, K]
     set_nonempty = harm_valid.any(axis=-1)  # [B, K, 2]
 

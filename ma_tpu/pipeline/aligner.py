@@ -87,6 +87,7 @@ class DeviceStageConfig:
     max_lookahead: int
     max_delta_dist: float
     min_delta_dist: int
+    n_cand: int = 8
     max_out_sets: int = 8
 
     @classmethod
@@ -101,7 +102,6 @@ class DeviceStageConfig:
             max_segs=_next_pow2(max(64, L // 4)),
             max_seeds=_next_pow2(max(256, L * 2)),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
-            max_socs_harm=max_socs,
             seeds_per_soc=_next_pow2(max(64, L // 4)),
             min_seed_len=int(g("Minimal Seed Length")),
             min_ambiguity=int(g("Minimal Ambiguity")),
@@ -122,6 +122,11 @@ class DeviceStageConfig:
             max_lookahead=int(g("Harmonization Drop-off B - Lookahead")),
             max_delta_dist=float(g("Artifact Filter A - Maximal Delta Distance")),
             min_delta_dist=int(g("Artifact Filter B - Minimal Delta Distance")),
+            # short reads carry few seeds/SoCs: fewer RANSAC candidate pairs
+            # and a shallower harmonized-SoC stack keep the [B,K,2,P,3M]
+            # guide-line tensor small without changing long-read behavior
+            n_cand=4 if L <= 256 else 8,
+            max_socs_harm=min(max_socs, 8 if L <= 256 else (16 if L <= 1024 else max_socs)),
         )
 
 
@@ -176,6 +181,7 @@ def device_stage_from_seeds(
         max_lookahead=cfg.max_lookahead,
         max_delta_dist=cfg.max_delta_dist,
         min_delta_dist=cfg.min_delta_dist,
+        n_cand=cfg.n_cand,
     )
     return compact_harm(harm, cfg.max_out_sets), soc
 
@@ -238,6 +244,7 @@ def device_stage_mm(
         max_lookahead=cfg.max_lookahead,
         max_delta_dist=cfg.max_delta_dist,
         min_delta_dist=cfg.min_delta_dist,
+        n_cand=cfg.n_cand,
     )
     return compact_harm(harm, cfg.max_out_sets), soc
 
@@ -299,6 +306,7 @@ def device_stage(
         max_lookahead=cfg.max_lookahead,
         max_delta_dist=cfg.max_delta_dist,
         min_delta_dist=cfg.min_delta_dist,
+        n_cand=cfg.n_cand,
     )
     return compact_harm(harm, cfg.max_out_sets), soc
 
