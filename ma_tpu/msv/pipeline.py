@@ -32,6 +32,8 @@ from ma_tpu.msv.sweep import (
 )
 from ma_tpu.ops.extend_host import extend_seeds
 from ma_tpu.ops.filters import min_length, seed_lump
+from ma_tpu.ops.hash_seeding import reseed_gaps
+from ma_tpu.ops.soc import soc_collect
 
 
 def sv_seed_stage(mmi_dev, contig_starts, ref_len_forward, seqs, lens,
@@ -47,10 +49,56 @@ def sv_seed_stage(mmi_dev, contig_starts, ref_len_forward, seqs, lens,
             max_seeds=2048, rectangular=False,
         )
         seeds = seed_lump(seeds)
-        return min_length(seeds, min_seed_len)
+        seeds = min_length(seeds, min_seed_len)
+        soc = soc_collect(seeds, ln, cst, rectangular=False, max_socs=64)
+        return soc
 
     return run(k, w, max_occ, min_seed_len, mmi_dev, contig_starts,
                ref_len_forward, jnp.asarray(seqs), jnp.asarray(lens, jnp.int32))
+
+
+def feasible_socs(
+    soc, b: int, min_nt: int, soc_height: int = 0
+) -> List[List[tuple]]:
+    """GetAllFeasibleSoCsAsSet (stripOfConsideration.h:234-285): every SoC
+    with accumulated nt >= min_nt, split on query gaps > soc_height, gap
+    pieces below min_nt dropped. Returns seed-tuple lists (nt = SoC score)."""
+    sd = soc.seeds
+    q = np.asarray(sd.q_start[b])
+    l = np.asarray(sd.length[b])
+    r_ = np.asarray(sd.ref_start[b])
+    fw = np.asarray(sd.on_forward[b])
+    va = np.asarray(sd.valid[b])
+    starts = np.asarray(soc.start[b])
+    ends = np.asarray(soc.end[b])
+    scores = np.asarray(soc.score[b])
+    n_socs = int(soc.n_socs[b])
+    out: List[List[tuple]] = []
+    for si in range(n_socs):
+        nt = int(scores[si])
+        if nt < min_nt:
+            continue
+        idx = [m for m in range(int(starts[si]), int(ends[si])) if va[m]]
+        seeds = sorted(
+            ((int(q[m]), int(l[m]), int(r_[m]), bool(fw[m]), nt) for m in idx),
+            key=lambda t: t[0],
+        )
+        if not seeds:
+            continue
+        cur: List[tuple] = []
+        cur_nt = 0
+        max_q = seeds[0][0] + seeds[0][1]
+        for sd_t in seeds:
+            if sd_t[0] > max_q + soc_height:
+                if cur_nt >= min_nt:
+                    out.append(cur)
+                cur, cur_nt = [], 0
+            cur.append(sd_t)
+            cur_nt += sd_t[1]
+            max_q = max(max_q, sd_t[0] + sd_t[1])
+        if cur_nt >= min_nt:
+            out.append(cur)
+    return out
 
 
 def compute_sv_jumps(
@@ -60,9 +108,14 @@ def compute_sv_jumps(
     params: JumpParams = JumpParams(),
     min_seed_len: int = 18,
     max_occ: int = 10000,
+    min_nt_in_soc: int = 25,
+    soc_height: int = 0,
+    do_reseed: bool = True,
     batch: int = 512,
 ) -> List[SvJump]:
-    """reads -> SvJump list (compute_sv_jumps, computeSvJumps.py:6-122)."""
+    """reads -> SvJump list (compute_sv_jumps, computeSvJumps.py:6-122):
+    device minimizer seeding + lumping + SoC, host feasible-SoC extraction,
+    rectangle reseeding, maximal extension, jump enumeration per SoC."""
     mmi_dev = mmi.to_device()
     cst = jnp.asarray(np.asarray(pack.starts, np.int32))
     rlf = pack.unpacked_size_forward_strand
@@ -79,24 +132,27 @@ def compute_sv_jumps(
         for i, r in enumerate(chunk):
             seqs[i, : len(r)] = r.codes
             lens[i] = len(r)
-        sb = sv_seed_stage(mmi_dev, cst, rlf, seqs, lens, k=mmi.k, w=mmi.w,
-                           max_occ=max_occ, min_seed_len=min_seed_len)
-        q = np.asarray(sb.q_start)
-        l = np.asarray(sb.length)
-        r_ = np.asarray(sb.ref_start)
-        fw = np.asarray(sb.on_forward)
-        va = np.asarray(sb.valid)
+        soc = sv_seed_stage(mmi_dev, cst, rlf, seqs, lens, k=mmi.k, w=mmi.w,
+                            max_occ=max_occ, min_seed_len=min_seed_len)
         for b in range(B):
-            mm = np.nonzero(va[b])[0]
-            nt = int(l[b, mm].sum())
-            seeds = [
-                (int(q[b, m]), int(l[b, m]), int(r_[b, m]), bool(fw[b, m]), nt)
-                for m in mm
-            ]
-            # maximal extension sharpens breakpoints (SeedLumping applies
-            # SeedExtender in the reference, seedFilters.h:265-290)
-            seeds = extend_seeds(seeds, chunk[b].codes, pack)
-            rj = compute_jumps(seeds, len(chunk[b]), read_id=s + b, params=params)
+            # per-SoC reseeding, then jumps over the UNION of the feasible
+            # SoCs' seeds (RecursiveReseedingSoCs reduces the SeedsSet back
+            # to one flat Seeds before SvJumpsFromExtractedSeeds,
+            # svJumpsFromSeeds.h:605-621,691)
+            union: List[tuple] = []
+            for soc_seeds in feasible_socs(soc, b, min_nt_in_soc, soc_height):
+                seeds = soc_seeds
+                if do_reseed:
+                    seeds = reseed_gaps(seeds, chunk[b].codes, pack)
+                # maximal extension sharpens breakpoints (SeedLumping
+                # applies SeedExtender, seedFilters.h:265-290)
+                seeds = extend_seeds(seeds, chunk[b].codes, pack)
+                union.extend(seeds)
+            if not union:
+                continue
+            union = sorted(set(union))
+            rj = compute_jumps(union, len(chunk[b]), read_id=s + b,
+                               params=params)
             for j in rj:
                 j.id = next_id
                 next_id += 1
