@@ -145,3 +145,48 @@ class ReadBatch:
             for i in range(0, len(rs), batch):
                 chunk = rs[i : i + batch]
                 yield ReadBatch.from_reads(chunk, padded_len=L, batch=batch)
+
+
+# ------------------------------------------------------------- compression
+def compress_codes(codes: np.ndarray):
+    """Compact storable representation of base codes — the CompressedNucSeq
+    role (reference: libs/ma/inc/ma/container/nucSeq.h:854-1145, 4-bit+RLE
+    for DB blobs; format here: 2-bit packing with an N-run exception list).
+
+    Returns (packed uint8 [ceil(n/4)], n, n_runs int64 [k, 2])."""
+    codes = np.asarray(codes, np.uint8)
+    n = len(codes)
+    is_n = codes >= 4
+    two_bit = np.where(is_n, 0, codes).astype(np.uint8)
+    pad = (-n) % 4
+    if pad:
+        two_bit = np.concatenate([two_bit, np.zeros(pad, np.uint8)])
+    packed = (
+        two_bit[0::4] | (two_bit[1::4] << 2) | (two_bit[2::4] << 4)
+        | (two_bit[3::4] << 6)
+    )
+    # N runs as (start, length)
+    d = np.diff(is_n.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if n and is_n[0]:
+        starts = np.concatenate(([0], starts))
+    if n and is_n[-1]:
+        ends = np.concatenate((ends, [n]))
+    runs = np.stack([starts, ends - starts], axis=1).astype(np.int64) \
+        if len(starts) else np.zeros((0, 2), np.int64)
+    return packed, n, runs
+
+
+def decompress_codes(packed: np.ndarray, n: int, runs: np.ndarray) -> np.ndarray:
+    """Inverse of compress_codes."""
+    packed = np.asarray(packed, np.uint8)
+    out = np.empty(len(packed) * 4, np.uint8)
+    out[0::4] = packed & 3
+    out[1::4] = (packed >> 2) & 3
+    out[2::4] = (packed >> 4) & 3
+    out[3::4] = (packed >> 6) & 3
+    out = out[:n]
+    for (s, l) in np.asarray(runs, np.int64):
+        out[s : s + l] = 4
+    return out

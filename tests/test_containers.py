@@ -95,3 +95,23 @@ def test_pack_store_load(tmp_path):
     assert q.names == p.names
     assert np.array_equal(q.codes, p.codes)
     assert np.array_equal(q.starts, p.starts)
+
+
+def test_compressed_nucseq_roundtrip():
+    import numpy as np
+    from ma_tpu.containers.nucseq import compress_codes, decompress_codes
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, 1001).astype(np.uint8)
+    codes[100:150] = 4
+    codes[0] = 4
+    codes[-3:] = 4
+    packed, n, runs = compress_codes(codes)
+    assert len(packed) == (1001 + 3) // 4  # 4x compression
+    assert np.array_equal(decompress_codes(packed, n, runs), codes)
+    # empty + all-N edge cases
+    p, n0, r = compress_codes(np.zeros(0, np.uint8))
+    assert np.array_equal(decompress_codes(p, n0, r), np.zeros(0, np.uint8))
+    alln = np.full(10, 4, np.uint8)
+    p, n1, r = compress_codes(alln)
+    assert np.array_equal(decompress_codes(p, n1, r), alln)
