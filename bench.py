@@ -31,6 +31,9 @@ def main():
     read_len = int(os.environ.get("MA_TPU_BENCH_LEN", 150))
     batch = int(os.environ.get("MA_TPU_BENCH_BATCH", 512))
 
+    import ma_tpu
+
+    ma_tpu.enable_compilation_cache()
     from ma_tpu.containers.nucseq import NucSeq, decode_seq, revcomp_codes
     from ma_tpu.containers.pack import Pack
     from ma_tpu.index.fmd_index import FMDIndex

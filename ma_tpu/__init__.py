@@ -22,22 +22,23 @@ __version__ = "0.1.0"
 
 # Persistent XLA compilation cache: the jitted pipeline programs are large
 # (minutes of compile on TPU); caching them across processes makes every
-# run after the first start instantly.
-def _enable_compilation_cache() -> None:
+# run after the first start instantly. Keyed per platform (a CPU AOT
+# artifact must not be replayed on a machine with different features).
+def enable_compilation_cache() -> None:
     import os
 
     try:
         import jax
 
+        platform = jax.devices()[0].platform
         path = os.environ.get(
             "MA_TPU_XLA_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "ma_tpu_xla"),
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "ma_tpu_xla", platform
+            ),
         )
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
-
-
-_enable_compilation_cache()

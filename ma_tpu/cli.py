@@ -195,6 +195,9 @@ def _ensure_jax_backend() -> None:
     except RuntimeError:
         jax.config.update("jax_platforms", "cpu")
         jax.devices()
+    import ma_tpu
+
+    ma_tpu.enable_compilation_cache()
 
 
 def run_alignment(

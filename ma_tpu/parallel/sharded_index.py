@@ -117,6 +117,6 @@ def sharded_minimizer_seeding(
             ambiguity=P(), delta=P(), soc_nt=P(), valid=P(),
             n_seeds=P(), overflow=P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(H_d, P_d, S_d, seqs, lens, cst)
