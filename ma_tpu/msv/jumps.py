@@ -293,3 +293,41 @@ def compute_jumps(
     if params.do_dummy_jumps and last[0] + last[1] + params.min_dist_dummy < qlen:
         out.append(make_dummy_jump(last, qlen, False, read_id, params))
     return out
+
+
+def filter_jumps_by_region(
+    jumps: Sequence[SvJump], lo: int, hi: int
+) -> List[SvJump]:
+    """Keep jumps whose from- or to-interval overlaps [lo, hi)
+    (FilterJumpsByRegion, svJumpsFromSeeds.h:791-816)."""
+    out = []
+    for j in jumps:
+        fs = j.from_start_same_strand()
+        if fs < hi and fs + j.from_size() >= lo:
+            out.append(j)
+        elif j.to_start() < hi and j.to_end() >= lo:
+            out.append(j)
+    return out
+
+
+def jumps_filter_contig_border(
+    jumps: Sequence[SvJump], pack, max_dist: int = 0
+) -> List[SvJump]:
+    """Drop jumps whose breakends sit on different contigs or within
+    max_dist of a contig border (JumpsFilterContigBorder)."""
+    out = []
+    L = pack.unpacked_size_forward_strand
+    for j in jumps:
+        keep = True
+        for pos in (j.from_pos, j.to_pos):
+            if pos == DUMMY_LOCATION:
+                continue
+            p = min(pos, L - 1)
+            cid = int(pack.seq_id_for_position(p))
+            lo = int(pack.starts[cid])
+            hi = lo + int(pack.lengths[cid])
+            if p < lo + max_dist or p + max_dist >= hi:
+                keep = False
+        if keep:
+            out.append(j)
+    return out

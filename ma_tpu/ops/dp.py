@@ -389,3 +389,24 @@ def cigar_score(
                      params.gap_open2 + ln * params.gap_extend2)
             j += ln
     return s
+
+
+def nw_alignment(q: np.ndarray, t: np.ndarray, params: DPParams = DPParams()):
+    """Plain global alignment of two sequences -> (score, cigar) — the
+    NWAlignment module's role (needlemanWunsch.h:131-156). Unbanded
+    (band = max(len)) single-problem convenience wrapper."""
+    q = np.asarray(q, np.uint8)
+    t = np.asarray(t, np.uint8)
+    M, N = max(len(q), 1), max(len(t), 1)
+    band = max(M, N)
+    ops, n_ops, rem_i, rem_j, score, _mi, _mj, _zd = banded_align_traceback(
+        jnp.asarray(q[None] if len(q) else np.full((1, 1), 4, np.uint8)),
+        jnp.asarray(t[None] if len(t) else np.full((1, 1), 4, np.uint8)),
+        jnp.asarray([len(q) or 1], jnp.int32),
+        jnp.asarray([len(t) or 1], jnp.int32),
+        jnp.asarray([band], jnp.int32),
+        params=params, zdrop=-1, is_global=True,
+    )
+    cigar = rle_ops(np.asarray(ops)[0], int(n_ops[0]), int(rem_i[0]),
+                    int(rem_j[0]))
+    return int(score[0]), cigar

@@ -171,3 +171,18 @@ def palindrome_filter(seeds: Sequence[SeedT]) -> Tuple[List[SeedT], List[SeedT]]
     kept = [s for s, d in zip(ss, dead) if not d]
     pal = [s for s, d in zip(ss, dead) if d]
     return kept, pal
+
+
+def filter_seeds_by_area(
+    seeds: Sequence[SeedT], start: int, size: int
+) -> List[SeedT]:
+    """Keep seeds whose reference span intersects [start, start+size)
+    (FilterSeedsByArea, filter_seeds_by_area.h:16)."""
+    out = []
+    for s in seeds:
+        (q, l, r, fw, nt) = s
+        lo = r if fw else r - l + 1
+        hi = (r + l) if fw else r + 1
+        if lo < start + size and hi > start:
+            out.append(s)
+    return out

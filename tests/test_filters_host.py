@@ -66,3 +66,26 @@ def test_palindrome_filter_drops_shorter_crossing():
     kept, pal = palindrome_filter([fwd, rev, far])
     assert fwd in kept and far in kept
     assert rev in pal
+
+
+def test_filter_seeds_by_area():
+    from ma_tpu.ops.filters_host import filter_seeds_by_area
+
+    inside = (0, 20, 100, True, 0)
+    outside = (0, 20, 5000, True, 0)
+    rev_inside = (0, 20, 115, False, 0)  # spans [96, 116)
+    out = filter_seeds_by_area([inside, outside, rev_inside], 90, 30)
+    assert inside in out and rev_inside in out and outside not in out
+
+
+def test_nw_alignment_global():
+    import numpy as np
+    from ma_tpu.ops.dp import nw_alignment, OP_M, OP_D
+
+    q = np.array([0, 1, 2, 3, 0, 1], np.uint8)
+    t = np.array([0, 1, 2, 2, 3, 0, 1], np.uint8)
+    score, cigar = nw_alignment(q, t)
+    # one deletion somewhere, rest matches
+    assert sum(l for (op, l) in cigar if op == OP_D) == 1
+    assert sum(l for (op, l) in cigar if op == OP_M) == 6
+    assert score == 6 * 2 - (4 + 2)
