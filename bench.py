@@ -73,11 +73,8 @@ def main():
     n_aligned = sum(1 for r in res if r)
 
     t0 = time.perf_counter()
-    total = 0
-    for s in range(0, n_reads, batch):
-        chunk = reads[s : s + batch]
-        aligner.align_batch(chunk)
-        total += len(chunk)
+    with open(os.devnull, "w") as devnull:
+        total = aligner.align_to_sam(iter(reads), devnull, batch_size=batch)
     dt = time.perf_counter() - t0
     rps = total / dt
 

@@ -526,9 +526,25 @@ class Aligner:
         omit_sec = bool(pset.get("Omit Secondary Alignments"))
         omit_sup = bool(pset.get("Omit Supplementary Alignments"))
 
-        def flush(bucket: List[NucSeq]):
+        def launch(bucket: List[NucSeq]):
+            """Dispatch the device stage asynchronously (JAX async dispatch:
+            the program runs while the host finishes the previous batch —
+            the pipeline-parallel overlap the reference gets from threads)."""
+            B = len(bucket)
+            L = _next_pow2(max(len(r) for r in bucket))
+            seqs = np.full((B, L), 4, np.uint8)
+            lens = np.zeros(B, np.int32)
+            for i, r in enumerate(bucket):
+                seqs[i, : len(r)] = r.codes
+                lens[i] = len(r)
+            with stage_timer(self.profiler, "device seed+soc+harmonize"):
+                harm, _soc = self.run_device_stage(seqs, lens)
+            return bucket, harm
+
+        def finish(pending):
             nonlocal n
-            for read, alns in zip(bucket, self.align_batch(bucket)):
+            bucket, harm = pending
+            for read, alns in zip(bucket, self.finish_batch(bucket, harm)):
                 if omit_sec:
                     alns = [a for a in alns if not a.secondary]
                 if omit_sup:
@@ -536,11 +552,20 @@ class Aligner:
                 writer.write(alns, read)
                 n += 1
 
+        pending = None
         for read in reads:
             key = _next_pow2(max(len(read), 1))
             buckets.setdefault(key, []).append(read)
             if len(buckets[key]) >= batch_size:
-                flush(buckets.pop(key))
+                launched = launch(buckets.pop(key))
+                if pending is not None:
+                    finish(pending)
+                pending = launched
         for bucket in buckets.values():
-            flush(bucket)
+            launched = launch(bucket)
+            if pending is not None:
+                finish(pending)
+            pending = launched
+        if pending is not None:
+            finish(pending)
         return n
