@@ -66,3 +66,34 @@ def test_help_runs(capsys):
     out = capsys.readouterr().out
     assert "presettings" in out.lower()
     assert "--Minimal_Seed_Length" in out.replace("Minimal_Seed_Length", "Minimal_Seed_Length") or "Seeding" in out
+
+
+def test_paired_cli(genome_fasta):
+    d, fa, genome = genome_fasta
+    rng = np.random.default_rng(53)
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    truth = []
+    with open(d / "r1.fq", "w") as f1, open(d / "r2.fq", "w") as f2:
+        for i in range(6):
+            insert = 300
+            p = int(rng.integers(0, 8192 - insert))
+            m1 = genome[p : p + 100]
+            m2 = np.array([comp[c] for c in genome[p + insert - 100 : p + insert][::-1]])
+            s1 = decode_seq(m1)
+            s2 = decode_seq(m2.astype(np.uint8))
+            f1.write(f"@q{i}/1\n{s1}\n+\n{'I'*100}\n")
+            f2.write(f"@q{i}/2\n{s2}\n+\n{'I'*100}\n")
+            truth.append(p)
+    out = d / "paired.sam"
+    rc = main(["-x", str(d / "idx"), "-i", str(d / "r1.fq"),
+               "-m", str(d / "r2.fq"), "-o", str(out),
+               "--Mean_Distance_of_Paired_Reads", "200",
+               "--Standard_Deviation_of_Paired_Reads", "100"])
+    assert rc == 0
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 12
+    for f in recs:
+        flag = int(f[1])
+        assert flag & 0x1  # paired
+        assert f[6] == "="  # mate on same contig
