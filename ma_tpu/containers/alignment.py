@@ -279,3 +279,23 @@ class Alignment:
             f"Alignment(ref[{self.begin_on_ref},{self.end_on_ref}) "
             f"q[{self.begin_on_query},{self.end_on_query}) score={self.iscore} {runs})"
         )
+
+
+# module-level helpers shared by the SAM tag generator
+def _aln_num_matches(aln: "Alignment") -> int:
+    return sum(l for op, l in aln.data if op in (SEED, MATCH))
+
+
+def _aln_num_differences(aln: "Alignment", count_indels: bool = True) -> int:
+    """getNumDifferences: mismatched nt plus (optionally) indel nt."""
+    n = 0
+    for op, l in aln.data:
+        if op == MISMATCH:
+            n += l
+        elif op in (INSERTION, DELETION) and count_indels:
+            n += l
+    return n
+
+
+Alignment.num_matches = _aln_num_matches
+Alignment.num_differences = _aln_num_differences

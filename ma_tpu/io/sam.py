@@ -74,15 +74,127 @@ class SamWriter:
     the host pipeline is single-writer)."""
 
     def __init__(self, out: IO[str], pack: Pack, cmd: str = "ma_tpu",
-                 soft_clip: bool = False, use_m_cigar: bool = True):
+                 soft_clip: bool = False, use_m_cigar: bool = True,
+                 ngmlr_tags: bool = False):
         self.out = out
         self.pack = pack
         self.soft_clip = soft_clip
         self.use_m = use_m_cigar
+        self.ngmlr_tags = ngmlr_tags
         out.write(sam_header(pack, cmd))
 
     def write(self, alignments: Iterable[Alignment], query: NucSeq) -> None:
+        alignments = list(alignments)
         for aln in alignments:
-            self.out.write(
-                sam_record(aln, query, self.pack, self.soft_clip, self.use_m) + "\n"
+            line = sam_record(aln, query, self.pack, self.soft_clip, self.use_m)
+            if self.ngmlr_tags:
+                line += compute_tags(
+                    aln, query, self.pack, alignments,
+                    soft_clip=self.soft_clip, use_m_cigar=self.use_m,
+                )
+            self.out.write(line + "\n")
+
+
+def compute_tags(
+    aln: Alignment,
+    query: NucSeq,
+    pack: Pack,
+    all_alignments=None,
+    soft_clip: bool = False,
+    use_m_cigar: bool = True,
+) -> str:
+    """NGMLR-emulation SAM tags (reference: fileWriter.h TagGenerator
+    computeTag:115-365): MD, SV, AS, NM, XI, XE, XR, CV, QS/QE, SA."""
+    from ma_tpu.containers.alignment import (
+        DELETION,
+        INSERTION,
+        MATCH,
+        MISMATCH,
+        SEED,
+    )
+
+    B = "ACGTN"
+    tag = ""
+
+    # ---- MD
+    md = []
+    rpos = aln.begin_on_ref
+    nm = 0
+    last_was_del = False
+    for (op, size) in aln.data:
+        if op in (MISMATCH, DELETION) and nm > 0:
+            md.append(str(nm))
+            nm = 0
+        first = not last_was_del
+        last_was_del = False
+        if op in (SEED, MATCH):
+            nm += size
+            rpos += size
+        elif op == INSERTION:
+            pass
+        elif op == MISMATCH:
+            for c in pack.extract(rpos, rpos + size):
+                if first:
+                    first = False
+                else:
+                    md.append("0")
+                md.append(B[c])
+            rpos += size
+        elif op == DELETION:
+            md.append("^")
+            md.append("".join(B[c] for c in pack.extract(rpos, rpos + size)))
+            rpos += size
+            last_was_del = True
+    if nm > 0:
+        md.append(str(nm))
+    tag += "\tMD:Z:" + "".join(md)
+
+    # ---- SV (Sniffles helper bits; holes unsupported -> bit 0x1 from holes)
+    sv = 0
+    if pack.holes:
+        def hole_frac(lo, hi):
+            lo, hi = max(lo, 0), min(hi, pack.unpacked_size_forward_plus_reverse)
+            if hi <= lo:
+                return 0.0
+            cov = 0
+            for (s, e) in pack.holes:
+                cov += max(0, min(e, hi) - max(s, lo))
+            return cov / (hi - lo)
+
+        if (
+            hole_frac(aln.begin_on_ref - 100, aln.begin_on_ref) > 0.8
+            or hole_frac(aln.end_on_ref, aln.end_on_ref + 100) > 0.8
+        ):
+            sv += 1
+    if aln.end_on_query - aln.begin_on_query >= len(query) * 0.95 or soft_clip:
+        sv += 2
+    tag += f"\tSV:i:{sv}"
+
+    tag += f"\tAS:i:{aln.score()}"
+    tag += f"\tNM:i:{aln.num_differences(True)}"
+    span_q = max(aln.end_on_query - aln.begin_on_query, 1)
+    span_r = max(aln.end_on_ref - aln.begin_on_ref, 1)
+    tag += f"\tXI:f:{aln.num_matches() / min(span_q, span_r):.6f}"
+    tag += f"\tXE:i:{aln.score()}"
+    tag += f"\tXR:i:{aln.end_on_query - aln.begin_on_query}"
+    tag += f"\tCV:f:{100.0 * (aln.end_on_query - aln.begin_on_query) / max(len(query), 1):.6f}"
+    tag += f"\tQS:i:{aln.begin_on_query}\tQE:i:{aln.end_on_query}"
+
+    # ---- SA: other non-secondary alignments of the same read
+    if all_alignments and len(all_alignments) > 1:
+        sa = []
+        for other in all_alignments:
+            if other is aln or other.secondary:
+                continue
+            if other.stats.first != aln.stats.first:
+                continue
+            strand = "-" if pack.is_reverse_strand(other.begin_on_ref) else "+"
+            sa.append(
+                f"{other.contig(pack)},{other.sam_position(pack)},{strand},"
+                f"{other.cigar(pack, len(query), soft_clip, use_m_cigar)},"
+                f"{other.sam_mapq() if other.sam_mapq() != 255 else 255},"
+                f"{aln.num_differences(True)};"
             )
+        if sa:
+            tag += "\tSA:Z:" + "".join(sa)
+    return tag

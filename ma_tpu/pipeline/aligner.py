@@ -520,6 +520,7 @@ class Aligner:
             cmd=cmd,
             soft_clip=bool(pset.get("Soft clip")),
             use_m_cigar=bool(pset.get("Use M in CIGAR")),
+            ngmlr_tags=bool(pset.get("Emulate NGMLR's tag output")),
         )
         n = 0
         buckets: dict = {}

@@ -137,3 +137,27 @@ def test_profiler_collects_stage_times(small_genome):
     assert all(v >= 0 for v in stages.values())
     table = aligner.profiler.analyze()
     assert "ratio" in table
+
+
+def test_ngmlr_tags_emitted(small_genome):
+    pack, fmd, genome = small_genome
+    reads, truth = simulate_reads(genome, 4, 100, 0.02, seed=41)
+    aligner = Aligner(pack, fmd)
+    aligner.pset.set("Emulate NGMLR's tag output", True)
+    buf = io.StringIO()
+    aligner.align_to_sam(iter(reads), buf, batch_size=4)
+    recs = [l for l in buf.getvalue().splitlines() if not l.startswith("@")]
+    assert recs
+    for l in recs:
+        assert "\tMD:Z:" in l and "\tNM:i:" in l and "\tAS:i:" in l
+        assert "\tQS:i:" in l and "\tCV:f:" in l
+        # MD tag must be consistent: matches+mismatches count == aligned ref
+        import re
+        md = re.search(r"MD:Z:(\S+)", l).group(1)
+        cons = sum(int(x) for x in re.findall(r"\d+", md.replace("^", " ")))
+        mm = len(re.findall(r"(?<!\^)[ACGTN]", re.sub(r"\^[ACGTN]+", "", md)))
+        cig = l.split("\t")[5]
+        ref_consumed = sum(int(n) for n, op in re.findall(r"(\d+)([MD=X])", cig)
+                           if op in "M=X")
+        dels = sum(int(n) for n, op in re.findall(r"(\d+)([D])", cig))
+        assert cons + mm == ref_consumed, (md, cig)
