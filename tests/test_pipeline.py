@@ -161,3 +161,29 @@ def test_ngmlr_tags_emitted(small_genome):
                            if op in "M=X")
         dels = sum(int(n) for n, op in re.findall(r"(\d+)([D])", cig))
         assert cons + mm == ref_consumed, (md, cig)
+
+
+def test_long_reads_high_error_minimizer_path(small_genome):
+    """PacBio/ONT-style config (BASELINE.json config #3 analog)."""
+    pack, fmd, genome = small_genome
+    rng = np.random.default_rng(47)
+    aligner = Aligner(pack, fmd)
+    aligner.pset.set("Seeding Technique", "minimizers")
+    reads, truth = [], []
+    for i in range(3):
+        p = int(rng.integers(0, len(genome) - 3000))
+        codes = genome[p : p + 3000].copy()
+        for j in np.nonzero(rng.random(3000) < 0.08)[0]:
+            codes[j] = (codes[j] + rng.integers(1, 4)) % 4
+        rev = i == 2
+        if rev:
+            codes = revcomp_codes(codes)
+        reads.append(NucSeq.from_str(decode_seq(codes), name=f"lr{i}"))
+        truth.append((p, rev))
+    res = aligner.align_batch(reads)
+    for alns, (p, rev) in zip(res, truth):
+        assert alns
+        a = alns[0]
+        assert bool(pack.is_reverse_strand(a.begin_on_ref)) == rev
+        assert abs(a.sam_position(pack) - 1 - p) < 100
+        assert a.end_on_query - a.begin_on_query > 2000
