@@ -199,3 +199,37 @@ def filter_fuzzy_calls(calls: List[SvCall], max_fuzziness: int = 50) -> List[SvC
     return [
         c for c in calls if c.from_size <= max_fuzziness and c.to_size <= max_fuzziness
     ]
+
+
+def filter_diagonal_line_calls(
+    calls: List[SvCall], jumps_of=None, threshold: int = 300
+) -> List[SvCall]:
+    """FilterDiagonalLineCalls (sweepSvJumps.h:567-620): drop calls whose
+    supporting jumps form a line along the main diagonal — their (y-x)
+    variance is tiny relative to the (y+x) variance. jumps_of maps a call
+    to its supporting SvJump list (falls back to keeping the call)."""
+
+    def med_var(vals: List[int]) -> int:
+        vals = sorted(vals)
+        n = len(vals)
+        med = vals[n // 2] if n % 2 == 1 else (vals[n // 2 - 1] + vals[n // 2]) // 2
+        return sum((med - v) * (med - v) for v in vals) // n
+
+    out = []
+    for c in calls:
+        jumps = jumps_of(c) if jumps_of is not None else None
+        if not jumps:
+            out.append(c)
+            continue
+        da = [j.to_pos - j.from_pos for j in jumps]
+        db = [j.to_pos + j.from_pos for j in jumps]
+        va = med_var(da)
+        vb = max(med_var(db), 1)
+        if va // vb < threshold or vb < 10:
+            out.append(c)
+    return out
+
+
+def filter_low_score_calls(calls: List[SvCall], min_score: float = 2.0) -> List[SvCall]:
+    """FilterLowScoreCalls (sweepSvJumps.h:668): score = supp_nt/ambiguity."""
+    return [c for c in calls if c.score() >= min_score]

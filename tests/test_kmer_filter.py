@@ -52,3 +52,65 @@ def test_combine_overlapping_calls():
     assert merged.supp_reads == 5 and merged.supp_nt == 120
     assert any(c.from_pos == 9000 for c in out)
     assert any(c.to_forward is False for c in out)
+
+
+def test_diagonal_and_low_score_filters():
+    from ma_tpu.msv.jumps import JumpParams, compute_jumps
+    from ma_tpu.msv.sweep import (
+        filter_diagonal_line_calls,
+        filter_low_score_calls,
+    )
+
+    good = SvCall(100, 5000, 0, 0, True, True, supp_nt=100,
+                  reference_ambiguity=1)
+    bad = SvCall(100, 5000, 0, 0, True, True, supp_nt=1,
+                 reference_ambiguity=1)
+    assert filter_low_score_calls([good, bad], min_score=2.0) == [good]
+
+    # line artifact: supporting jumps with from+to ~ constant but from-to
+    # spread out -> (y-x) variance huge, (y+x) variance tiny => dropped
+    # (sweepSvJumps.h:607-610 keeps only stdA/stdB < threshold or stdB < 10)
+    params = JumpParams(do_dummy_jumps=False)
+    line_jumps = []
+    for k in range(6):
+        f = 1000 + k * 1000
+        # f + t nearly constant with small jitter (a perfectly constant sum
+        # hits the reference's stdB<10 keep-clause)
+        t = 13000 - k * 1000 + (k % 3) * 12
+        line_jumps.extend(compute_jumps(
+            [(0, 30, f - 29, True, 60), (30, 30, t, True, 60)], 60, k,
+            params=params))
+    call = SvCall(5000, 9000, 0, 0, True, True, supp_reads=6)
+    kept = filter_diagonal_line_calls([call], jumps_of=lambda c: line_jumps,
+                                      threshold=3)
+    assert kept == []
+    # a normal tight cluster is kept
+    tight = []
+    for k in range(6):
+        tight.extend(compute_jumps(
+            [(0, 30, 4971 + k, True, 60), (30, 30, 9000 + k, True, 60)], 60,
+            k, params=params))
+    kept2 = filter_diagonal_line_calls([call], jumps_of=lambda c: tight,
+                                       threshold=3)
+    assert kept2 == [call]
+
+
+def test_alignment_printer():
+    import numpy as np
+    from ma_tpu.containers.alignment import Alignment, SEED, MISMATCH
+    from ma_tpu.containers.pack import Pack
+    from ma_tpu.utils.printer import format_alignment
+
+    rng = np.random.default_rng(3)
+    genome = rng.integers(0, 4, 100).astype(np.uint8)
+    pack = Pack.empty()
+    pack.append("p", genome)
+    query = genome[10:40].copy()
+    query[5] = (query[5] + 1) % 4
+    a = Alignment(begin_on_ref=10, begin_on_query=0)
+    a.append(SEED, 5)
+    a.append(MISMATCH, 1)
+    a.append(SEED, 24)
+    text = format_alignment(a, query, pack)
+    assert "Q " in text and "R " in text
+    assert text.count("*") == 1  # exactly one mismatch bar
