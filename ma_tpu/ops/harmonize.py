@@ -267,12 +267,18 @@ def artifact_filter(q, l, r, valid, max_delta_dist=0.1, min_delta_dist=16):
     delta = sr - sq  # int32; |delta| < 2L
     n = sv.sum(axis=-1)
 
-    def step(carry, i):
-        pre, killed = carry
+    # the scan carries the previous kept element's delta VALUE (the reference
+    # carries an index; a per-row index gather each step is slow on TPU) and
+    # consumes the per-position delta/delta-next as scan xs
+    delta_x = jnp.moveaxis(delta, -1, 0)  # [M, ...]
+    delta_post_x = jnp.moveaxis(
+        jnp.concatenate([delta[..., 1:], delta[..., -1:]], axis=-1), -1, 0
+    )
+
+    def step(carry, xs):
+        d_prev, i = carry
+        d_ctr, d_post = xs
         active = (i >= 1) & (i + 1 < n)
-        d_prev = jnp.take_along_axis(delta, pre[..., None], axis=-1)[..., 0]
-        d_ctr = jnp.take(delta, i, axis=-1)
-        d_post = jnp.take(delta, jnp.minimum(i + 1, M - 1), axis=-1)
         dist_pre = jnp.abs(d_prev - d_ctr)
         dist_post = jnp.abs(d_post - d_ctr)
         both_zero = (dist_pre + dist_post) == 0
@@ -281,13 +287,14 @@ def artifact_filter(q, l, r, valid, max_delta_dist=0.1, min_delta_dist=16):
         )
         # C++ divides by zero -> NaN -> comparison false; replicate via mask
         trigger = active & ~both_zero & (diff < max_delta_dist) & (dist_pre > min_delta_dist)
-        killed = killed | (trigger[..., None] & (jnp.arange(M) == i))
-        pre = jnp.where(active & ~trigger, i, pre)
-        return (pre, killed), None
+        d_prev = jnp.where(active & ~trigger, d_ctr, d_prev)
+        return (d_prev, i + 1), trigger
 
-    pre0 = jnp.zeros(q.shape[:-1], jnp.int32)
-    killed0 = jnp.zeros(q.shape, bool)
-    (pre, killed), _ = jax.lax.scan(step, (pre0, killed0), jnp.arange(M, dtype=jnp.int32))
+    d_prev0 = delta[..., 0]
+    (_, _), killed_t = jax.lax.scan(
+        step, (d_prev0, jnp.int32(0)), (delta_x, delta_post_x)
+    )
+    killed = jnp.moveaxis(killed_t, 0, -1)
     new_sv = sv & ~killed
     # scatter back to original slots
     flat_o = ordr.reshape(-1, M)
