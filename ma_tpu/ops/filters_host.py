@@ -186,3 +186,53 @@ def filter_seeds_by_area(
         if lo < start + size and hi > start:
             out.append(s)
     return out
+
+
+def pick_local_seed_set(
+    seeds: Sequence[SeedT],
+    match: int = 2,
+    extend: int = 2,
+    gap: int = 4,
+    sv_penalty: int = 100,
+    optimistic: bool = True,
+) -> List[SeedT]:
+    """Gap-cost-estimation cutting ("Pick Local Seed Set", off by default;
+    reference: Harmonization::applyFilters harmonization.cpp:14-135):
+    Kadane-style trim of a sorted seed chain to its maximal-scoring run,
+    with rectangular gaps costed as one indel + matches."""
+    ss = sorted((s for s in seeds if s[1] > 0), key=lambda s: (s[2], s[0]))
+    if not ss:
+        return []
+    score = match * ss[0][1]
+    max_score = score
+    last_start = 0
+    opt_start, opt_end = 0, 0
+    for i in range(1, len(ss)):
+        score += match * ss[i][1]
+        gap_nt = 0
+        if ss[i][0] > ss[i - 1][0]:
+            gap_nt = ss[i][0] - ss[i - 1][0]
+        dr = ss[i][2] - ss[i - 1][2]
+        if dr > 0:
+            if dr < gap_nt:
+                gap_nt -= dr
+                if optimistic:
+                    score += match * dr
+            else:
+                if optimistic:
+                    score += match * gap_nt
+                gap_nt = dr - gap_nt
+        cost = gap_nt * extend
+        if cost > 0:
+            cost += gap
+        if sv_penalty and cost > sv_penalty:
+            cost = sv_penalty
+        if score < cost:
+            score = 0
+            last_start = i
+        else:
+            score -= cost
+        if score > max_score:
+            max_score = score
+            opt_start, opt_end = last_start, i
+    return list(ss[opt_start : opt_end + 1])

@@ -208,16 +208,12 @@ def _linesweep(starts, ends, dists, seed_idx, valid):
     (st_end, st_dist, st_seed, sp, _), _ = jax.lax.scan(
         step, (st_end0, st_dist0, st_seed0, sp0, x0), elems
     )
-    # survivor mask over original seed slots (scatter-OR; duplicate index 0
-    # writes from masked lanes must not clobber true survivors)
+    # survivor mask over original seed slots. A scatter here is slow on TPU;
+    # the [.., M, M] comparison-broadcast reduction is pure vector work.
     alive = (pos_range < sp[..., None]) & (st_seed >= 0)
-    safe = jnp.where(alive, st_seed, 0)
     surv = (
-        jax.vmap(lambda ix, al: jnp.zeros(M, jnp.int32).at[ix].add(al.astype(jnp.int32)))(
-            safe.reshape((-1, M)), alive.reshape((-1, M))
-        )
-        > 0
-    ).reshape(lead + (M,))
+        (st_seed[..., :, None] == pos_range[None, :]) & alive[..., :, None]
+    ).any(axis=-2)
     return surv
 
 
@@ -296,11 +292,11 @@ def artifact_filter(q, l, r, valid, max_delta_dist=0.1, min_delta_dist=16):
     )
     killed = jnp.moveaxis(killed_t, 0, -1)
     new_sv = sv & ~killed
-    # scatter back to original slots
-    flat_o = ordr.reshape(-1, M)
-    flat_v = new_sv.reshape(-1, M)
-    out = jax.vmap(lambda o, vv: jnp.zeros(M, bool).at[o].set(vv))(flat_o, flat_v)
-    return out.reshape(valid.shape)
+    # scatter-free mapping back to original slots (see _linesweep comment)
+    out = (
+        (ordr[..., :, None] == jnp.arange(M)[None, :]) & new_sv[..., :, None]
+    ).any(axis=-2)
+    return out
 
 
 def compact_harm(harm: HarmBatch, max_sets: int) -> HarmBatch:

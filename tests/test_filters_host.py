@@ -89,3 +89,14 @@ def test_nw_alignment_global():
     assert sum(l for (op, l) in cigar if op == OP_D) == 1
     assert sum(l for (op, l) in cigar if op == OP_M) == 6
     assert score == 6 * 2 - (4 + 2)
+
+
+def test_pick_local_seed_set_trims_outliers():
+    from ma_tpu.ops.filters_host import pick_local_seed_set
+
+    # tight chain + a far outlier whose gap cost exceeds its contribution
+    chain = [(0, 30, 1000, True, 0), (35, 30, 1035, True, 0),
+             (70, 30, 1072, True, 0)]
+    outlier = [(110, 10, 90000, True, 0)]
+    out = pick_local_seed_set(chain + outlier)
+    assert set(out) == set(chain)
