@@ -236,3 +236,107 @@ def pick_local_seed_set(
             max_score = score
             opt_start, opt_end = last_start, i
     return list(ss[opt_start : opt_end + 1])
+
+
+def _adjust_seed(seed: SeedT, lo: int, hi: int):
+    """Trim the part of the seed's query interval inside [lo, hi)
+    (FilterOverlappingSoCs::adjustSeed, seedFilters.h:740-808). Returns the
+    adjusted seed or None when fully removed."""
+    (q, l, r, fw, nt) = seed
+    end = q + l
+    if q >= lo:
+        if q < hi:
+            if end <= hi:
+                return None
+            sb = hi - q
+            return (q + sb, l - sb, r + sb if fw else r - sb, fw, nt)
+        return seed
+    if end > lo:
+        if end <= hi:
+            return (q, l - (end - lo), r, fw, nt)
+        return None  # region cuts the seed in half
+    return seed
+
+
+def filter_overlapping_socs(
+    socs: List[List[SeedT]],
+    min_non_overlap_frac: float = 0.50,
+    min_non_overlap_nt: int = 5,
+    value_fac: float = 2.0,
+    pairwise_overlap: bool = False,
+) -> List[List[SeedT]]:
+    """Line sweep over SoC query intervals removing overlaps
+    (FilterOverlappingSoCs::core, seedFilters.h:876-975): overlapping SoCs
+    with unique regions get cut at the overlap center; enclosed SoCs are
+    kept only when sufficiently more valuable; mostly-covered SoCs drop."""
+    entries = []
+    for seeds in socs:
+        live = [s for s in seeds if s[1] > 0]
+        if not live:
+            continue
+        q_min = min(s[0] for s in live)
+        q_max = max(s[0] + s[1] for s in live)
+        entries.append([q_min, q_max, list(live), list(live)])
+    entries.sort(key=lambda t: (t[0], -t[1]))
+
+    def value_in_range(lo, hi, entry):
+        v = 0
+        for (q, l, *_r) in entry[3]:
+            if q + l > lo and q < hi:
+                v += min(q + l, hi) - max(q, lo)
+        return v
+
+    def remove_in_range(lo, hi, entry):
+        entry[2] = [
+            s2 for s2 in (
+                _adjust_seed(s, lo, hi) for s in entry[2]
+            ) if s2 is not None and s2[1] > 0
+        ]
+
+    cur_max = 0
+    for i, ei in enumerate(entries):
+        i_start, i_end = ei[0], ei[1]
+        pct_i = max(int((i_end - i_start) * min_non_overlap_frac),
+                    min_non_overlap_nt)
+        uncovered = 0
+        local_max = max(cur_max, i_start)
+        j = i + 1
+        while j < len(entries) and i_end > entries[j][0]:
+            ej = entries[j]
+            j_start, j_end = ej[0], ej[1]
+            if j_start > local_max:
+                uncovered += j_start - local_max
+            local_max = max(local_max, j_end)
+            pct_j = max(int((j_end - j_start) * min_non_overlap_frac),
+                        min_non_overlap_nt)
+            start_i_unc = i_start + pct_i <= j_start
+            end_i_unc = j_end + pct_i <= i_end
+            end_j_unc = i_end + pct_j <= j_end
+            start_j_unc = j_start + pct_j <= i_start
+            if start_i_unc and end_j_unc:
+                center = (i_end + j_start) // 2
+                remove_in_range(center, i_end, ei)
+                remove_in_range(j_start, center, ej)
+            elif not end_j_unc and not start_j_unc:
+                vi = value_in_range(j_start, j_end, ei)
+                vj = value_in_range(j_start, j_end, ej)
+                if vj > vi * value_fac:
+                    remove_in_range(j_start, j_end, ei)
+                else:
+                    ej[2] = []
+            elif (not start_i_unc and not end_i_unc and not end_j_unc
+                  and not start_j_unc and pairwise_overlap):
+                lo, hi = max(i_start, j_start), min(i_end, j_end)
+                vi = value_in_range(lo, hi, ei)
+                vj = value_in_range(lo, hi, ej)
+                if vi <= vj * value_fac:
+                    ei[2] = []
+                if vj <= vi * value_fac:
+                    ej[2] = []
+            j += 1
+        if i_end > local_max:
+            uncovered += i_end - local_max
+        if uncovered < pct_i and not pairwise_overlap:
+            ei[2] = []
+        cur_max = max(cur_max, i_end)
+    return [e[2] for e in entries if e[2]]

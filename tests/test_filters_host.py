@@ -100,3 +100,22 @@ def test_pick_local_seed_set_trims_outliers():
     outlier = [(110, 10, 90000, True, 0)]
     out = pick_local_seed_set(chain + outlier)
     assert set(out) == set(chain)
+
+
+def test_filter_overlapping_socs():
+    from ma_tpu.ops.filters_host import filter_overlapping_socs
+
+    # two SoCs overlapping on query [40, 60) with unique flanks -> both kept
+    # but trimmed at the overlap center (50)
+    a = [(0, 60, 1000, True, 0)]
+    b = [(40, 60, 5000, True, 0)]
+    out = filter_overlapping_socs([a, b])
+    assert len(out) == 2
+    ends = sorted(s[0] + s[1] for soc in out for s in soc)
+    starts = sorted(s[0] for soc in out for s in soc)
+    assert 50 in ends and 50 in starts  # cut at the center
+    # an enclosed low-value SoC is dropped
+    big = [(0, 100, 1000, True, 0)]
+    small = [(30, 20, 9000, True, 0)]
+    out2 = filter_overlapping_socs([big, small])
+    assert len(out2) == 1 and out2[0][0][1] == 100
