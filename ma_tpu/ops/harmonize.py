@@ -161,10 +161,12 @@ def _linesweep(starts, ends, dists, seed_idx, valid):
     key_start = jnp.where(valid, starts, jnp.int32(2**30))
     ordr = jnp.lexsort((-ends, key_start), axis=-1)
     take = lambda a: jnp.take_along_axis(a, ordr, axis=-1)
-    s_end = take(ends)
-    s_dist = take(dists)
-    s_seed = take(seed_idx)
-    s_valid = take(valid)
+    # the barrier stops XLA from rematerializing the (sorted) producer
+    # chain inside every scan iteration — a fusion pathology that made the
+    # 64-step sweep ~40x slower when fed from fused upstream compute
+    s_end, s_dist, s_seed, s_valid = jax.lax.optimization_barrier(
+        (take(ends), take(dists), take(seed_idx), take(valid))
+    )
 
     st_end0 = jnp.full(lead + (M,), 2**30, jnp.int32)  # +inf so searchsorted works
     st_dist0 = jnp.zeros(lead + (M,), jnp.float32)
@@ -266,10 +268,12 @@ def artifact_filter(q, l, r, valid, max_delta_dist=0.1, min_delta_dist=16):
     # the scan carries the previous kept element's delta VALUE (the reference
     # carries an index; a per-row index gather each step is slow on TPU) and
     # consumes the per-position delta/delta-next as scan xs
-    delta_x = jnp.moveaxis(delta, -1, 0)  # [M, ...]
-    delta_post_x = jnp.moveaxis(
-        jnp.concatenate([delta[..., 1:], delta[..., -1:]], axis=-1), -1, 0
-    )
+    delta_x, delta_post_x = jax.lax.optimization_barrier((
+        jnp.moveaxis(delta, -1, 0),
+        jnp.moveaxis(
+            jnp.concatenate([delta[..., 1:], delta[..., -1:]], axis=-1), -1, 0
+        ),
+    ))
 
     def step(carry, xs):
         d_prev, i = carry
