@@ -103,12 +103,22 @@ def soc_collect(
     plen_ex = _exclusive(plen)
     pamb_ex = _exclusive(pamb)
 
+    # gathers/scatters with per-lane indices are slow on TPU; all loop-body
+    # lookups below use masked reductions over the (small) row instead, and
+    # the barrier keeps XLA from rematerializing the prefix sums per step
+    plen, pamb, plen_ex, pamb_ex = jax.lax.optimization_barrier(
+        (plen, pamb, plen_ex, pamb_ex)
+    )
+    S_range = jnp.arange(S)[None, :]
+
+    def sel_s(arr, idx):  # arr [B, S], idx [B] -> arr[b, idx[b]]
+        return jnp.where(S_range == idx[:, None], arr, 0).sum(axis=1)
+
     def range_score(l, r):  # over [l, r)
         l = jnp.clip(l, 0, S - 1)
         rr = jnp.clip(r - 1, 0, S - 1)
-        b = jnp.arange(B)
-        sl = jnp.where(r > l, plen[b, rr] - plen_ex[b, l], 0)
-        sa = jnp.where(r > l, pamb[b, rr] - pamb_ex[b, l], 0)
+        sl = jnp.where(r > l, sel_s(plen, rr) - sel_s(plen_ex, l), 0)
+        sa = jnp.where(r > l, sel_s(pamb, rr) - sel_s(pamb_ex, l), 0)
         return sl, sa
 
     # ---- 4. window ends per start
@@ -119,6 +129,7 @@ def soc_collect(
     limit = sd.delta + width[:, None]
     j_raw = jax.vmap(lambda d, lim: jnp.searchsorted(d, lim, side="right"))(sd.delta, limit)
     win_end = jnp.minimum(jnp.minimum(j_raw.astype(jnp.int32), run_end), n[:, None])
+    win_end = jax.lax.optimization_barrier(win_end)
 
     # ---- 5. the push_back_no_overlap sweep as a micro-op loop
     M_EVAL, M_VAC = 0, 1
@@ -166,7 +177,7 @@ def soc_collect(
         at_vac = active & (c.mode == M_VAC)
 
         # EVAL: form candidate (score over [i, win_end[i]))
-        we = win_end[barr, jnp.clip(c.i, 0, S - 1)]
+        we = sel_s(win_end, jnp.clip(c.i, 0, S - 1))
         sl, sa = range_score(c.i, we)
         good = at_eval & (sl >= min_score) & (sl > 0)
         # candidates below min score are skipped (stripOfConsideration.cpp:137-141)
@@ -179,10 +190,12 @@ def soc_collect(
 
         # VACUUM: one iteration of push_back_no_overlap's while loop
         sp1 = jnp.maximum(c.sp - 1, 0)
-        back_end = c.st_end[barr, sp1]
-        back_start = c.st_start[barr, sp1]
-        back_len = c.st_len[barr, sp1]
-        back_amb = c.st_amb[barr, sp1]
+        K_range = jnp.arange(max_socs)[None, :]
+        sel_k = lambda st: jnp.where(K_range == sp1[:, None], st, 0).sum(axis=1)
+        back_end = sel_k(c.st_end)
+        back_start = sel_k(c.st_start)
+        back_len = sel_k(c.st_len)
+        back_amb = sel_k(c.st_amb)
         overlap = at_vac & (c.sp > 0) & (back_end > c.c_start)
         back_lower = _order_less(back_len, back_amb, c.c_len, c.c_amb)
 
@@ -190,9 +203,10 @@ def soc_collect(
         case_a = overlap & back_lower
         a_len, a_amb = range_score(back_start, c.c_start)
         drop_back = case_a & ((a_len < min_score) | (a_len == 0))
-        st_end = c.st_end.at[barr, sp1].set(jnp.where(case_a, c.c_start, back_end))
-        st_len = c.st_len.at[barr, sp1].set(jnp.where(case_a, a_len, back_len))
-        st_amb = c.st_amb.at[barr, sp1].set(jnp.where(case_a, a_amb, back_amb))
+        at_sp1 = (K_range == sp1[:, None]) & case_a[:, None]
+        st_end = jnp.where(at_sp1, c.c_start[:, None], c.st_end)
+        st_len = jnp.where(at_sp1, a_len[:, None], c.st_len)
+        st_amb = jnp.where(at_sp1, a_amb[:, None], c.st_amb)
         sp = c.sp - drop_back.astype(jnp.int32)
 
         # case B: candidate is lower -> shrink candidate to [back_end, c_end)
@@ -207,7 +221,8 @@ def soc_collect(
         do_push = at_vac & ~overlap
         can_push = do_push & (sp < max_socs)
         slot = jnp.minimum(sp, max_socs - 1)
-        pv = lambda st, v: st.at[barr, slot].set(jnp.where(can_push, v, st[barr, slot]))
+        at_slot = (K_range == slot[:, None]) & can_push[:, None]
+        pv = lambda st, v: jnp.where(at_slot, v[:, None], st)
         st_start = pv(c.st_start, c_start)
         st_end = pv(st_end, c_end)
         st_len = pv(st_len, c_len)
