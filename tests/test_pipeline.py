@@ -187,3 +187,15 @@ def test_long_reads_high_error_minimizer_path(small_genome):
         assert bool(pack.is_reverse_strand(a.begin_on_ref)) == rev
         assert abs(a.sam_position(pack) - 1 - p) < 100
         assert a.end_on_query - a.begin_on_query > 2000
+
+
+def test_quick_align_and_self_check(small_genome):
+    from ma_tpu.pipeline.quick import quick_align, test_aligner as self_check
+
+    pack, fmd, genome = small_genome
+    read = decode_seq(genome[2000:2120])
+    alns = quick_align(read, pack, fmd)
+    assert alns and alns[0].sam_position(pack) - 1 == 2000
+    # self check on a tiny random genome
+    frac = self_check(genome_size=8192, n_reads=12, seed=3)
+    assert frac >= 11 / 12
