@@ -77,54 +77,48 @@ def seed_lump(seeds: SeedBatch) -> SeedBatch:
         & jnp.roll(sva, 1, axis=1)
     )
     same_group = same_group.at[:, 0].set(False)
-    # prefix max of ends within the row, reset at group boundaries: compute
-    # via cummax of (end where same position chain) — standard trick: use
-    # global segment ids from group change, then within group prefix-max
-    grp = jnp.cumsum(~same_group, axis=1)  # group id per slot (1-based-ish)
-    # prefix max of end per group: sort is stable by q_start so a prefix max
-    # within the group; implement via associative_scan with masked reset
-    def comb(a, b):
+    grp = jnp.cumsum(~same_group, axis=1)  # group id per slot
+
+    # segmented prefix-max of ends (reset at group boundaries)
+    def comb_max(a, b):
         ga, ea = a
         gb, eb = b
         return gb, jnp.where(ga == gb, jnp.maximum(ea, eb), eb)
 
-    _, pmax_end = jax.lax.associative_scan(comb, (grp, send), axis=1)
+    _, pmax_end = jax.lax.associative_scan(comb_max, (grp, send), axis=1)
     pmax_before = jnp.concatenate(
         [jnp.zeros((B, 1), send.dtype), pmax_end[:, :-1]], axis=1
     )
     new_run = ~same_group | (sq > pmax_before)
-    run_id = jnp.cumsum(new_run.astype(jnp.int32), axis=1) - 1  # 0-based
+    run_id = jnp.cumsum(new_run.astype(jnp.int32), axis=1)
 
-    seg_min_q = jax.vmap(
-        lambda rid, v: jax.ops.segment_min(v, rid, num_segments=S)
-    )(run_id, jnp.where(sva, sq, INT_MAX))
-    seg_max_e = jax.vmap(
-        lambda rid, v: jax.ops.segment_max(v, rid, num_segments=S)
-    )(run_id, jnp.where(sva, send, -1))
-    seg_delta = jax.vmap(
-        lambda rid, v: jax.ops.segment_min(v, rid, num_segments=S)
-    )(run_id, jnp.where(sva, sld, INT_MAX))
-    seg_fwd = jax.vmap(
-        lambda rid, v: jax.ops.segment_max(v, rid, num_segments=S)
-    )(run_id, jnp.where(sva, sfw.astype(jnp.int32), 0)).astype(bool)
-    seg_amb = jax.vmap(
-        lambda rid, v: jax.ops.segment_min(v, rid, num_segments=S)
-    )(run_id, jnp.where(sva, sam, INT_MAX))
-    seg_has = jax.vmap(
-        lambda rid, v: jax.ops.segment_sum(v, rid, num_segments=S)
-    )(run_id, sva.astype(jnp.int32))
-    n_runs = (seg_has > 0).sum(axis=1)
+    # scatter-free segmented aggregation: instead of compacting runs, mark
+    # each run's LAST element as the merged seed. The merged start is the
+    # run's first q (propagated forward), the merged end the segmented
+    # prefix-max of ends (segment_min/max ops lower to scatters — slow on
+    # TPU — while associative scans are pure vector work).
+    def comb_first(a, b):
+        ga, va_ = a
+        gb, vb_ = b
+        return gb, jnp.where(ga == gb, va_, vb_)
 
-    slot = jnp.arange(S)[None, :]
-    valid = slot < n_runs[:, None]
-    q_start = jnp.where(valid, seg_min_q, 0)
-    length = jnp.where(valid, seg_max_e - seg_min_q, 0)
-    ref_start = jnp.where(
-        seg_fwd, seg_delta + q_start, seg_delta - q_start
+    _, run_first_q = jax.lax.associative_scan(
+        comb_first, (run_id, sq), axis=1
     )
-    return _repack(seeds, q_start, length, ref_start, seg_fwd,
-                   jnp.where(valid, seg_amb, 0), jnp.where(valid, seg_delta, INT_MAX),
-                   valid)
+    _, run_first_amb = jax.lax.associative_scan(
+        comb_first, (run_id, sam), axis=1
+    )
+    _, run_max_e = jax.lax.associative_scan(comb_max, (run_id, send), axis=1)
+    is_last = jnp.concatenate(
+        [run_id[:, 1:] != run_id[:, :-1], jnp.ones((B, 1), bool)], axis=1
+    )
+    valid = is_last & sva
+    q_start = jnp.where(valid, run_first_q, 0)
+    length = jnp.where(valid, run_max_e - run_first_q, 0)
+    ref_start = jnp.where(sfw, sld + q_start, sld - q_start)
+    return _repack(seeds, q_start, length, ref_start, sfw,
+                   jnp.where(valid, run_first_amb, 0),
+                   jnp.where(valid, sld, INT_MAX), valid)
 
 
 def sort_remove_duplicates(seeds: SeedBatch) -> SeedBatch:
