@@ -153,3 +153,22 @@ class SeedSetComp:
     @property
     def recall(self) -> float:
         return self.nt_overlap / self.nt_ground_truth if self.nt_ground_truth else 0.0
+
+
+def read_ksw(path_or_file, pack: Pack) -> Iterator[Tuple[str, int, str]]:
+    """KswFileReader (sam_reader.h:130-172): ksw output lines
+    (contig, 1-based pos, ..., read name @ col 3, ..., cigar @ col 9) ->
+    (read_name, global_ref_start, cigar)."""
+    f = open(path_or_file) if isinstance(path_or_file, str) else path_or_file
+    for line in f:
+        line = line.rstrip("\n")
+        if not line or line.startswith("@"):
+            continue
+        x = line.split("\t")
+        if len(x) != 10:
+            raise ValueError(
+                "wrong number of tab separated columns for a ksw output file"
+            )
+        cid = pack.names.index(x[0])
+        ref_start = int(x[1]) + int(pack.starts[cid]) - 1
+        yield (x[3], ref_start, x[9])

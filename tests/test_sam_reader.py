@@ -66,3 +66,16 @@ def test_seed_overlap_counts():
     assert seed_overlap_nt(a, b) == 5
     c = [(0, 10, 109, False)]
     assert seed_overlap_nt(a, c) == 0
+
+
+def test_read_ksw(tmp_path):
+    import numpy as np
+    from ma_tpu.io.sam_reader import read_ksw
+
+    pack = Pack.empty()
+    pack.append("c1", np.zeros(100, np.uint8))
+    pack.append("c2", np.ones(100, np.uint8))
+    p = tmp_path / "x.ksw"
+    p.write_text("@hdr\nc2\t11\t60\tread7\t0\t0\t0\t0\t0\t50M\n")
+    recs = list(read_ksw(str(p), pack))
+    assert recs == [("read7", 100 + 10, "50M")]
