@@ -27,9 +27,9 @@ BASELINE_REF_READS_PER_S = 28327.0
 
 def main():
     genome_len = int(os.environ.get("MA_TPU_BENCH_GENOME", 1_000_000))
-    n_reads = int(os.environ.get("MA_TPU_BENCH_READS", 4096))
+    n_reads = int(os.environ.get("MA_TPU_BENCH_READS", 16384))
     read_len = int(os.environ.get("MA_TPU_BENCH_LEN", 150))
-    batch = int(os.environ.get("MA_TPU_BENCH_BATCH", 1024))
+    batch = int(os.environ.get("MA_TPU_BENCH_BATCH", 4096))
 
     import ma_tpu
 
