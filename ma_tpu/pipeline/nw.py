@@ -240,7 +240,14 @@ class NWAligner:
             M, N = self._bucket_shape(max(len(p.q), 1), max(len(p.t), 1))
             key = (M, N, p.is_global)
             buckets.setdefault(key, []).append(i)
-        for (M, N, is_global), idxs in buckets.items():
+        all_buckets = []
+        for key, idxs in buckets.items():
+            # cap problems per device call: the [P, D, M] direction tensor
+            # must fit HBM (P=4096 at the (256,1024) bucket is ~1.3 GB)
+            MAX_P = 4096
+            for s in range(0, len(idxs), MAX_P):
+                all_buckets.append((key, idxs[s : s + MAX_P]))
+        for (M, N, is_global), idxs in all_buckets:
             # pad the problem count to a power of two as well — every array
             # dimension must come from a small fixed set or jit recompiles
             P = _next_pow2(len(idxs), lo=8)
