@@ -64,3 +64,16 @@ def test_sharded_equals_unsharded(setup):
     )
     for b in range(B):
         assert seeds_set(sharded, b) == seeds_set(plain, b), f"read {b}"
+
+
+def test_multihost_helpers_single_process():
+    from ma_tpu.parallel.multihost import (
+        global_mesh,
+        output_path_for_process,
+        shard_paths,
+    )
+
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert shard_paths(["a.fq", "b.fq"]) == ["a.fq", "b.fq"]
+    assert output_path_for_process("out.sam") == "out.sam"
