@@ -87,6 +87,7 @@ class DeviceStageConfig:
     max_lookahead: int
     max_delta_dist: float
     min_delta_dist: int
+    min_genome_size: int = 10_000_000
     n_cand: int = 8
     max_out_sets: int = 8
 
@@ -122,12 +123,24 @@ class DeviceStageConfig:
             max_lookahead=int(g("Harmonization Drop-off B - Lookahead")),
             max_delta_dist=float(g("Artifact Filter A - Maximal Delta Distance")),
             min_delta_dist=int(g("Artifact Filter B - Minimal Delta Distance")),
+            min_genome_size=int(g("Minimum Genome Size for Heuristics")),
             # short reads carry few seeds/SoCs: fewer RANSAC candidate pairs
             # and a shallower harmonized-SoC stack keep the [B,K,2,P,3M]
             # guide-line tensor small without changing long-read behavior
             n_cand=4 if L <= 256 else 8,
             max_socs_harm=min(max_socs, 8 if L <= 256 else (16 if L <= 1024 else max_socs)),
         )
+
+
+def _soc_min_score(cfg, lens, genome_text_len):
+    """SoC give-up threshold fMinLen (stripOfConsideration.cpp:21-23):
+    max(rel * qlen, harm_score_min) for large genomes, 0 otherwise."""
+    rel = jnp.maximum(
+        (cfg.harm_score_min_rel * lens.astype(jnp.float32)).astype(jnp.int32),
+        jnp.int32(cfg.harm_score_min),
+    )
+    big = genome_text_len >= cfg.min_genome_size
+    return jnp.where(big, rel, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -163,6 +176,7 @@ def device_stage_from_seeds(
         gap=cfg.gap,
         fixed_width=cfg.fixed_soc_width,
         rectangular=cfg.rectangular,
+        min_score=_soc_min_score(cfg, lens, 2 * ref_len_forward),
         max_socs=cfg.max_socs_collect,
     )
     harm = harmonization(
@@ -226,6 +240,7 @@ def device_stage_mm(
         gap=cfg.gap,
         fixed_width=cfg.fixed_soc_width,
         rectangular=cfg.rectangular,
+        min_score=_soc_min_score(cfg, lens, 2 * ref_len_forward),
         max_socs=cfg.max_socs_collect,
     )
     harm = harmonization(
@@ -288,6 +303,7 @@ def device_stage(
         gap=cfg.gap,
         fixed_width=cfg.fixed_soc_width,
         rectangular=cfg.rectangular,
+        min_score=_soc_min_score(cfg, lens, fmd.n),
         max_socs=cfg.max_socs_collect,
     )
     harm = harmonization(
