@@ -199,3 +199,24 @@ def test_quick_align_and_self_check(small_genome):
     # self check on a tiny random genome
     frac = self_check(genome_size=8192, n_reads=12, seed=3)
     assert frac >= 11 / 12
+
+
+@pytest.mark.parametrize("tech", ["maxSpan", "SMEMs", "minimizers"])
+def test_reads_with_n_bases(small_genome, tech):
+    """N handling through every seeding technique (reference:
+    libs/ma/tests/extract_n.cpp role)."""
+    pack, fmd, genome = small_genome
+    aligner = Aligner(pack, fmd)
+    aligner.pset.set("Seeding Technique", tech)
+    p = 5000
+    codes = genome[p : p + 150].copy()
+    codes[40] = 4
+    codes[41] = 4
+    codes[90] = 4
+    read = NucSeq.from_str(decode_seq(codes), name="withN")
+    res = aligner.align_batch([read])[0]
+    assert res, tech
+    a = res[0]
+    assert a.sam_position(pack) - 1 == p
+    # N positions score 0 (neither match nor mismatch penalties)
+    assert a.score() >= 2 * 150 - 3 * 2 - 8
