@@ -228,6 +228,13 @@ def run_alignment(
 
     out = open(out_path, "w") if out_path and out_path != "stdout" else sys.stdout
     t0 = time.perf_counter()
+
+    # stderr progress line (ProgressPrinter / doAlign callback,
+    # cmdMa.cpp:398-415, fileReader.h:624)
+    def progress(n_done: int) -> bool:
+        print(f"\r{n_done} reads aligned.   ", end="", file=sys.stderr)
+        return True
+
     try:
         if mate_files:
             from ma_tpu.pipeline.paired import PairedAligner
@@ -237,12 +244,13 @@ def run_alignment(
                 zip_paired(all_reads(in_files), all_reads(mate_files)), out, cmd=cmd
             )
         else:
-            n = aligner.align_to_sam(all_reads(in_files), out, cmd=cmd)
+            n = aligner.align_to_sam(all_reads(in_files), out, cmd=cmd,
+                                     progress=progress)
     finally:
         if out is not sys.stdout:
             out.close()
     dt = time.perf_counter() - t0
-    print(f"done. {n} reads in {dt:.1f}s ({n / max(dt, 1e-9):.0f} reads/s)",
+    print(f"\rdone. {n} reads in {dt:.1f}s ({n / max(dt, 1e-9):.0f} reads/s)",
           file=sys.stderr)
     if aligner.profiler is not None:
         aligner.profiler.analyze(out=sys.stderr)

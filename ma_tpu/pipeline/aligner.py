@@ -523,6 +523,7 @@ class Aligner:
         out: IO[str],
         batch_size: int = 256,
         cmd: str = "ma_tpu",
+        progress=None,  # callable(n_done) -> bool; False cancels
     ) -> int:
         """Stream reads -> SAM records. Returns #reads processed.
 
@@ -568,6 +569,8 @@ class Aligner:
                     alns = [a for a in alns if not a.supplementary]
                 writer.write(alns, read)
                 n += 1
+            if progress is not None and progress(n) is False:
+                raise KeyboardInterrupt("alignment cancelled by progress callback")
 
         pending = None
         for read in reads:
