@@ -105,12 +105,67 @@ def _sketch_arrays(codes, k: int, w: int, xp):
     return sel, h, strand, valid
 
 
-class MinimizerIndexDev(NamedTuple):
-    """Device arrays: minimizers sorted by hash."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MinimizerIndexDev:
+    """Device arrays: minimizers sorted by hash, plus a top-bits bucket
+    table that turns the O(log n)-gather searchsorted into one bucket read
+    + a few in-bucket binary-search steps (gathers are the expensive op on
+    TPU, so the step count matters more than the comparisons). shift/steps
+    are static (pytree aux data) so the search step count unrolls."""
 
     hash_sorted: jax.Array  # uint32 [n]
     pos: jax.Array  # int32 [n] — global last-base position of the k-mer
     strand: jax.Array  # int32 [n] — 0 fwd, 1 rev (canonical orientation)
+    bucket_lo: jax.Array  # int32 [2^bits + 1] — first row with hash>>shift >= t
+    shift: int = 16
+    steps: int = 8
+
+    def tree_flatten(self):
+        return (
+            (self.hash_sorted, self.pos, self.strand, self.bucket_lo),
+            (self.shift, self.steps),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, shift=aux[0], steps=aux[1])
+
+
+def build_bucket_table(hash_sorted: np.ndarray, target_bits: int = 20):
+    """(bucket_lo, shift, steps) for a hash-sorted uint32 array."""
+    n = len(hash_sorted)
+    bits = max(1, min(target_bits, max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)))
+    shift = 32 - bits
+    tops = (hash_sorted >> np.uint32(shift)).astype(np.int64)
+    bucket_lo = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)
+    max_bucket = int(np.max(np.diff(bucket_lo))) if n else 0
+    steps = max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
+    return bucket_lo, shift, steps
+
+
+def bucketed_searchsorted(idx: "MinimizerIndexDev", h: jax.Array):
+    """(lo, hi) occurrence ranges for hash values h (any shape)."""
+    t = (h >> jnp.uint32(idx.shift)).astype(jnp.int32)
+    lo = idx.bucket_lo[t]
+    hi = idx.bucket_lo[t + 1]
+    n = idx.hash_sorted.shape[0]
+    l_lo, l_hi = lo, hi  # bounds for the LEFT insertion point
+    r_lo, r_hi = lo, hi  # bounds for the RIGHT insertion point
+    for _ in range(idx.steps):
+        active = l_lo < l_hi
+        mid = (l_lo + l_hi) >> 1
+        v = idx.hash_sorted[jnp.clip(mid, 0, max(n - 1, 0))]
+        go = active & (v < h)
+        l_lo = jnp.where(go, mid + 1, l_lo)
+        l_hi = jnp.where(active & ~go, mid, l_hi)
+        active2 = r_lo < r_hi
+        mid2 = (r_lo + r_hi) >> 1
+        v2 = idx.hash_sorted[jnp.clip(mid2, 0, max(n - 1, 0))]
+        go2 = active2 & (v2 <= h)
+        r_lo = jnp.where(go2, mid2 + 1, r_lo)
+        r_hi = jnp.where(active2 & ~go2, mid2, r_hi)
+    return l_lo, r_lo
 
 
 @dataclasses.dataclass
@@ -145,10 +200,14 @@ class MinimizerIndex:
         return cls(k=k, w=w, hash_sorted=h[order], pos=p[order], strand=s[order])
 
     def to_device(self) -> MinimizerIndexDev:
+        bucket_lo, shift, steps = build_bucket_table(self.hash_sorted)
         return MinimizerIndexDev(
             hash_sorted=jnp.asarray(self.hash_sorted),
             pos=jnp.asarray(self.pos),
             strand=jnp.asarray(self.strand),
+            bucket_lo=jnp.asarray(bucket_lo),
+            shift=shift,
+            steps=steps,
         )
 
     # ------------------------------------------------------------------- I/O
@@ -198,8 +257,7 @@ def minimizer_seeding(
     pos_ok = jnp.arange(L)[None, :] + k <= lens[:, None]
     sel = sel & pos_ok
 
-    lo = jnp.searchsorted(idx.hash_sorted, h, side="left")
-    hi = jnp.searchsorted(idx.hash_sorted, h, side="right")
+    lo, hi = bucketed_searchsorted(idx, h)
     occ = jnp.where(sel, hi - lo, 0)
     occ = jnp.where(occ > max_occ, 0, occ)  # hard occurrence cutoff
 

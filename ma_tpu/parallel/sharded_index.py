@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ma_tpu.index.minimizer import MinimizerIndex, MinimizerIndexDev, minimizer_seeding
+from ma_tpu.index.minimizer import (
+    MinimizerIndex,
+    MinimizerIndexDev,
+    build_bucket_table,
+    minimizer_seeding,
+)
 from ma_tpu.ops.extract import SeedBatch
 
 SHARD_AXIS = "shard"
@@ -51,7 +56,13 @@ def shard_minimizer_index(
                 H[i, hi - lo :] = mmi.hash_sorted[hi - 1]
                 Pp[i, hi - lo :] = mmi.pos[hi - 1]
                 S[i, hi - lo :] = mmi.strand[hi - 1]
-    return H, Pp, S
+    # per-shard bucket tables with a common shift/step count
+    tables = [build_bucket_table(H[i]) for i in range(n_shards)]
+    shift = tables[0][1] if tables else 16
+    # bucket bit-width can differ per shard only via n; it does not here
+    steps = max((t[2] for t in tables), default=1)
+    BL = np.stack([t[0] for t in tables]) if tables else np.zeros((0, 2), np.int32)
+    return H, Pp, S, BL, shift, steps
 
 
 def sharded_minimizer_seeding(
@@ -71,19 +82,23 @@ def sharded_minimizer_seeding(
     Returns a SeedBatch with max_seeds_per_shard * n_shards seed slots per
     read (invalid slots masked as usual).
     """
-    H, Pp, S = shards
+    H, Pp, S, BL, shift, steps = shards
     n_shards = H.shape[0]
     sh = NamedSharding(mesh, P(SHARD_AXIS, None))
     rep = NamedSharding(mesh, P())
     H_d = jax.device_put(jnp.asarray(H), sh)
     P_d = jax.device_put(jnp.asarray(Pp), sh)
     S_d = jax.device_put(jnp.asarray(S), sh)
+    B_d = jax.device_put(jnp.asarray(BL), sh)
     seqs = jax.device_put(jnp.asarray(seqs, jnp.int32), rep)
     lens = jax.device_put(jnp.asarray(lens, jnp.int32), rep)
     cst = jax.device_put(jnp.asarray(contig_starts, jnp.int32), rep)
 
-    def local(h, p, s, sq, ln, cs):
-        mmi = MinimizerIndexDev(hash_sorted=h[0], pos=p[0], strand=s[0])
+    def local(h, p, s, bl, sq, ln, cs):
+        mmi = MinimizerIndexDev(
+            hash_sorted=h[0], pos=p[0], strand=s[0], bucket_lo=bl[0],
+            shift=shift, steps=steps,
+        )
         sb = minimizer_seeding(
             mmi, sq, ln, cs, ref_len_forward, k=k, w=w, max_occ=max_occ,
             max_seeds=max_seeds_per_shard, rectangular=True,
@@ -111,7 +126,7 @@ def sharded_minimizer_seeding(
         local,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS, None),
-                  P(), P(), P()),
+                  P(SHARD_AXIS, None), P(), P(), P()),
         out_specs=SeedBatch(
             q_start=P(), length=P(), ref_start=P(), on_forward=P(),
             ambiguity=P(), delta=P(), soc_nt=P(), valid=P(),
@@ -119,4 +134,4 @@ def sharded_minimizer_seeding(
         ),
         check_vma=False,
     )
-    return jax.jit(fn)(H_d, P_d, S_d, seqs, lens, cst)
+    return jax.jit(fn)(H_d, P_d, S_d, B_d, seqs, lens, cst)
