@@ -98,3 +98,50 @@ def test_primary_placement_parity(dataset):
     )
     # CIGARs largely identical (tie-breaking in DP may differ at indels)
     assert same_cigar >= same_pos * 0.9, (same_cigar, same_pos)
+
+
+def test_long_read_placement_parity(dataset, tmp_path):
+    """PacBio-style config: 2kb reads at 5% error, preset PacBio
+    (BASELINE.json config #3 analog)."""
+    from ma_tpu.containers.nucseq import decode_seq
+    d, _ = dataset
+    rng = np.random.default_rng(555)
+    # reuse the genome from the short-read fixture
+    import subprocess
+    comp = str.maketrans("ACGT", "TGCA")
+    seq = "".join(
+        l.strip() for l in open(f"{d}/genome.fa") if not l.startswith(">")
+    )
+    G = len(seq)
+    with open(tmp_path / "long.fq", "w") as f:
+        for i in range(12):
+            p = int(rng.integers(0, G - 2000))
+            s = list(seq[p : p + 2000])
+            for j in np.nonzero(rng.random(2000) < 0.05)[0]:
+                s[j] = "ACGT"[("ACGT".index(s[j]) + 1) % 4]
+            s = "".join(s)
+            if i % 2:
+                s = s.translate(comp)[::-1]
+            f.write(f"@L{i}\n{s}\n+\n{'I' * 2000}\n")
+    subprocess.run(
+        [REF_BIN, "-x", f"{d}/refidx.json", "-i", str(tmp_path / "long.fq"),
+         "-o", str(tmp_path / "ref.sam"), "-p", "PacBio", "-t", "2"],
+        check=True, capture_output=True,
+    )
+    from ma_tpu.cli import main
+
+    assert main(["-x", f"{d}/ouridx", "-i", str(tmp_path / "long.fq"),
+                 "-o", str(tmp_path / "our.sam"), "-p", "PacBio"]) == 0
+    ref = parse_primaries(tmp_path / "ref.sam")
+    our = parse_primaries(tmp_path / "our.sam")
+    both = set(ref) & set(our)
+    assert len(both) >= 11
+    agree = sum(
+        1 for n in both
+        if ref[n][0] == our[n][0] and ref[n][2] == our[n][2]
+        and abs(ref[n][1] - our[n][1]) <= 25
+    )
+    assert agree >= len(both) - 1, {
+        n: (ref[n], our[n]) for n in both
+        if not (abs(ref[n][1] - our[n][1]) <= 25 and ref[n][2] == our[n][2])
+    }
