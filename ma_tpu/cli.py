@@ -77,6 +77,7 @@ def generate_help(mgr: ParameterSetManager) -> str:
 def create_index(fasta: str, folder: str, name: str, log=print) -> str:
     from ma_tpu.containers.pack import Pack
     from ma_tpu.index.fmd_index import FMDIndex
+    from ma_tpu.index.minimizer import MinimizerIndex
 
     prefix = os.path.join(folder, name)
     log(f"Loading genome {fasta} ...")
@@ -88,6 +89,11 @@ def create_index(fasta: str, folder: str, name: str, log=print) -> str:
     fmd = FMDIndex.build(pack)
     fmd.store(prefix)
     log(f"FMD index built in {time.perf_counter() - t0:.1f}s -> {prefix}.fmd.npz")
+    t0 = time.perf_counter()
+    log("Building minimizer index ...")
+    mmi = MinimizerIndex.build(pack)
+    mmi.store(prefix)
+    log(f"Minimizer index built in {time.perf_counter() - t0:.1f}s -> {prefix}.mmi.npz")
     return prefix
 
 
@@ -215,7 +221,7 @@ def run_alignment(
 
     pack = Pack.load(index_prefix)
     fmd = FMDIndex.load(index_prefix)
-    aligner = Aligner(pack, fmd, mgr)
+    aligner = Aligner(pack, fmd, mgr, index_prefix=index_prefix)
     if os.environ.get("MA_TPU_PROFILE"):
         from ma_tpu.utils.profile import AnalyzeRuntimes
 

@@ -336,6 +336,7 @@ class Aligner:
         fmd: FMDIndex,
         params: ParameterSetManager | ParameterSet | None = None,
         sharding=None,
+        index_prefix: str | None = None,
     ):
         if params is None:
             params = ParameterSetManager()
@@ -349,6 +350,7 @@ class Aligner:
         self.sharding = sharding  # optional jax.sharding.NamedSharding for [B, L]
         self.nw_cfg = NWConfig(self.pset)
         self._mmi_dev = None
+        self._index_prefix = index_prefix
         self.profiler: AnalyzeRuntimes | None = None
 
     def _mem_seed_batch(self, seqs: np.ndarray, lens: np.ndarray, cfg):
@@ -395,8 +397,12 @@ class Aligner:
         if self._mmi_dev is None:
             from ma_tpu.index.minimizer import MinimizerIndex
 
-            mmi = getattr(self.fmd_host, "_mmi_cache", None)
-            if mmi is None or mmi.k != cfg.mm_k or mmi.w != cfg.mm_w:
+            mmi = None
+            if self._index_prefix and MinimizerIndex.exists(self._index_prefix):
+                stored = MinimizerIndex.load(self._index_prefix)
+                if stored.k == cfg.mm_k and stored.w == cfg.mm_w:
+                    mmi = stored
+            if mmi is None:
                 mmi = MinimizerIndex.build(self.pack, k=cfg.mm_k, w=cfg.mm_w)
             self._mmi_dev = mmi.to_device()
         return self._mmi_dev
