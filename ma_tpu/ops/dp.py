@@ -282,7 +282,17 @@ def banded_align_traceback(
     The [P, D, M] direction tensor stays in HBM; only op codes, counts and
     scalars are returned. Start cell: (qlen-1, tlen-1) for global mode, the
     max cell for extensions (si = -1 -> nothing aligned, empty output)."""
-    res = banded_align(q, t, qlen, tlen, band, params, zdrop, is_global)
+    import os
+
+    if os.environ.get("MA_TPU_DP") == "pallas":
+        from ma_tpu.ops.dp_pallas import banded_align_pallas
+
+        res = banded_align_pallas(
+            q, t, qlen, tlen, band, params=params, zdrop=zdrop,
+            is_global=is_global,
+        )
+    else:
+        res = banded_align(q, t, qlen, tlen, band, params, zdrop, is_global)
     if is_global:
         si = jnp.asarray(qlen, jnp.int32) - 1
         sj = jnp.asarray(tlen, jnp.int32) - 1

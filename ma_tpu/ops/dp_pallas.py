@@ -2,11 +2,18 @@
 
 The kswcpp-equivalent hot kernel (reference: libs/kswcpp/ — SSE/AVX2
 anti-diagonal DP) as a Mosaic kernel: the grid iterates anti-diagonals,
-every grid step advances ALL problems of the batch one diagonal using pure
+every grid step advances ALL problems of the batch 16 diagonals using pure
 VPU work ([P, M] lanes), carries live in VMEM scratch across grid steps
 (the TPU grid is sequential), and each step's direction bytes stream
 straight to the HBM output slab — identical recurrence and direction-byte
 encoding to ma_tpu.ops.dp.banded_align, verified cell-exact against it.
+
+Measured on a v5e chip this kernel exactly matches the jitted XLA scan
+(47 ms for a (512, 256, 1024) extension bucket): both are bound by the
+same per-diagonal vector work, i.e. XLA already compiles the scan to a
+near-roofline loop once its gathers are gone. The kernel remains the
+platform for sub-int32 lanes (kswcpp's 8/16-bit trick) and for fusing
+traceback in-kernel; select it with MA_TPU_DP=pallas.
 """
 from __future__ import annotations
 
