@@ -176,3 +176,41 @@ def test_extend_seeds_exact():
     # seed covering rread[80:100] -> genome last coord = 899-80 = 819
     out = extend_seeds([(80, 20, 819, False, 0)], rread, pack)
     assert out == [(0, 200, 899, False, 0)]
+
+
+def test_connector_pattern_filter(sv_genome):
+    """Real junction survives; a fabricated call with no read support
+    is dropped (connectorPatternFilter.h semantics)."""
+    from ma_tpu.msv.connector import connector_pattern_filter
+    from ma_tpu.msv.calls import SvCall
+
+    pack, mmi, genome = sv_genome
+    donor = np.concatenate([genome[:10000], genome[10800:]])
+    reads = tile_reads(donor)
+    jumps = compute_sv_jumps(reads, pack, mmi)
+    calls = sweep_sv_jumps(jumps, min_reads=3)
+    dels = [
+        c for c in calls
+        if c.from_forward and c.to_forward and abs(c.from_pos - 9999) < 30
+        and abs(c.to_pos - 10800) < 30
+    ]
+    assert dels
+    kept = connector_pattern_filter(dels, jumps, reads, pack)
+    assert dels[0] in kept  # the real deletion junction connects via reads
+
+    # artifact: same breakends but supported by jumps whose reads do NOT
+    # span the junction (random sequence flanks)
+    rng = np.random.default_rng(5)
+    from ma_tpu.containers.nucseq import NucSeq as NS
+    from ma_tpu.containers.nucseq import decode_seq as ds
+    fake_reads = [NS.from_str(ds(rng.integers(0, 4, 400).astype(np.uint8)),
+                              name=f"f{i}") for i in range(3)]
+    from ma_tpu.msv.jumps import SvJump, JumpParams
+    fake_jumps = [
+        SvJump(9999, 10800, 100, 101, True, True, 50, read_id=i, id=1000 + i)
+        for i in range(3)
+    ]
+    fake_call = SvCall(9999, 10800, 0, 0, True, True, supp_reads=3,
+                       supporting_jump_ids=[1000, 1001, 1002])
+    kept2 = connector_pattern_filter([fake_call], fake_jumps, fake_reads, pack)
+    assert kept2 == []

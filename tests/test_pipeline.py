@@ -220,3 +220,20 @@ def test_reads_with_n_bases(small_genome, tech):
     assert a.sam_position(pack) - 1 == p
     # N positions score 0; boundary effects may cost a few more points
     assert a.score() >= 2 * 150 - 40
+
+
+def test_random_alignments_fuzz(small_genome):
+    """Larger random round-trip in the spirit of random_alignments.py
+    (1,100 reads there; trimmed for CI time here)."""
+    pack, fmd, genome = small_genome
+    reads, truth = simulate_reads(genome, 150, 100, 0.015, seed=99)
+    aligner = Aligner(pack, fmd)
+    res = aligner.align_batch(reads)
+    assert check(pack, res, truth) >= 148
+    # every alignment internally consistent: spans match CIGAR lengths
+    for alns in res:
+        for a in alns:
+            ref_span = sum(l for op, l in a.data if op in "s=XD")
+            q_span = sum(l for op, l in a.data if op in "s=XI")
+            assert a.end_on_ref - a.begin_on_ref == ref_span
+            assert a.end_on_query - a.begin_on_query == q_span
