@@ -121,6 +121,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     in_files: List[str] = []
     mate_files: List[str] = []
     out_path = None
+    sv_mode = False
 
     try:
         i = 0
@@ -150,6 +151,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             if opt == "-o" or key == "sam_file_name":
                 out_path = nxt
                 i += 2
+                continue
+            if opt == "--Sv" or key == "sv":
+                sv_mode = True
+                i += 1
                 continue
             if opt == "-X" or key == "create_index":
                 parts = nxt.split(",")
@@ -185,6 +190,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise RuntimeError(
                 "both an index (-x) and at least one read file (-i) must be provided"
             )
+        if sv_mode:
+            return run_sv_calling(mgr, index_prefix, in_files, out_path)
         return run_alignment(mgr, index_prefix, in_files, mate_files, out_path)
     except (RuntimeError, KeyError) as ex:
         print(f"Error:\n{ex}", file=sys.stderr)
@@ -204,6 +211,64 @@ def _ensure_jax_backend() -> None:
     import ma_tpu
 
     ma_tpu.enable_compilation_cache()
+
+
+def run_sv_calling(
+    mgr: ParameterSetManager,
+    index_prefix: str,
+    in_files: List[str],
+    out_path: Optional[str],
+) -> int:
+    """--Sv mode: reads -> jumps -> calls -> TSV (+ SVG next to it) —
+    the MSV python drivers as one command (computeSvJumps.py +
+    sweepSvJumps.py flow over the in-memory store)."""
+    _ensure_jax_backend()
+    import ma_tpu
+
+    ma_tpu.enable_compilation_cache()
+    from ma_tpu.containers.pack import Pack
+    from ma_tpu.index.minimizer import MinimizerIndex
+    from ma_tpu.io.fasta import read_reads
+    from ma_tpu.msv.ambiguity import compute_call_ambiguity
+    from ma_tpu.msv.inserted import compute_inserted_sequences
+    from ma_tpu.msv.pipeline import compute_sv_jumps, sweep_sv_jumps
+    from ma_tpu.msv.render import calls_to_tsv, render_html
+
+    pack = Pack.load(index_prefix)
+    if MinimizerIndex.exists(index_prefix):
+        mmi = MinimizerIndex.load(index_prefix)
+    else:
+        mmi = MinimizerIndex.build(pack)
+    reads = []
+    for path in in_files:
+        reads.extend(read_reads(path))
+    g = mgr.selected.get
+    t0 = time.perf_counter()
+    jumps = compute_sv_jumps(
+        reads, pack, mmi,
+        min_seed_len=int(g("Minimal Seed Size SV")),
+        max_occ=int(g("Maximal Ambiguity SV")),
+        min_nt_in_soc=int(g("Min NT in SoC")),
+    )
+    calls = sweep_sv_jumps(
+        jumps,
+        min_reads=int(g("Min Reads in call")),
+        max_supp_nt=int(g("Max Supp Nt")),
+        max_call_size=int(g("Max Call Size Filter")),
+        max_fuzziness=int(g("Max Fuzziness Filter")),
+    )
+    compute_call_ambiguity(calls, pack)
+    compute_inserted_sequences(calls, jumps, reads)
+    out = out_path or "calls.tsv"
+    calls_to_tsv(calls, out)
+    render_html(out + ".html", jumps, calls,
+                genome_len=pack.unpacked_size_forward_strand)
+    print(
+        f"done. {len(reads)} reads -> {len(jumps)} jumps -> {len(calls)} "
+        f"calls in {time.perf_counter() - t0:.1f}s -> {out}",
+        file=sys.stderr,
+    )
+    return 0
 
 
 def run_alignment(

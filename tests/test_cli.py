@@ -97,3 +97,26 @@ def test_paired_cli(genome_fasta):
         flag = int(f[1])
         assert flag & 0x1  # paired
         assert f[6] == "="  # mate on same contig
+
+
+def test_sv_cli(genome_fasta):
+    d, fa, genome = genome_fasta
+    rng = np.random.default_rng(71)
+    # donor with a 300bp deletion
+    donor = np.concatenate([genome[:4000], genome[4300:]])
+    with open(d / "sv_reads.fq", "w") as f:
+        for i, p in enumerate(range(0, len(donor) - 400, 80)):
+            s = decode_seq(donor[p : p + 400])
+            f.write(f"@sv{i}\n{s}\n+\n{'I' * 400}\n")
+    out = d / "calls.tsv"
+    rc = main(["--Sv", "-x", str(d / "idx"), "-i", str(d / "sv_reads.fq"),
+               "-o", str(out), "--Min_Reads_in_call", "3"])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("from_pos")
+    rows = [l.split("\t") for l in lines[1:]]
+    assert any(
+        abs(int(r[0]) - 3999) < 10 and abs(int(r[1]) - 4300) < 10
+        for r in rows
+    ), rows[:5]
+    assert (d / "calls.tsv.html").exists()
