@@ -80,7 +80,11 @@ def extract_seeds(
     min_seed_len: int = 16,
     skip_ambiguous: bool = False,
     rectangular: bool = True,
+    sa_fn=None,
 ) -> SeedBatch:
+    # sa_fn overrides sa_lookup for the sharded-index path
+    # (parallel/sharded_fmd.py); fmd then only needs to expose `.n`.
+    sa = sa_fn or sa_lookup
     B, S = segs.q_start.shape
     slot_idx = jnp.arange(S)[None, :]
     live = slot_idx < segs.n_segs[:, None]
@@ -113,7 +117,7 @@ def extract_seeds(
 
     rows = segs.sai_start[barr, seg_of] + j * jump[barr, seg_of]
     rows = jnp.where(valid, rows, 1)  # row 1 is always a legal BWT row
-    pos = sa_lookup(fmd, rows)
+    pos = sa(fmd, rows)
 
     half = fmd.n // 2
     on_forw = pos < half

@@ -140,15 +140,18 @@ def init_interval(fmd: FMDDev, c: jax.Array) -> SAI:
     )
 
 
-def extend_backward(fmd: FMDDev, ik: SAI, c: jax.Array) -> SAI:
+def extend_backward(fmd, ik: SAI, c: jax.Array, occ4_fn=None) -> SAI:
     """Backward extension by char c updating the revcomp interval.
 
     Device analog of FMIndex::extend_backward (fMIndex.cpp:21-101).
     Inputs where c >= 4 or ik.size <= 0 produce empty intervals.
+    `occ4_fn` overrides the occ table lookup (sharded-index path,
+    parallel/sharded_fmd.py); fmd then only needs `.primary`/`.L2`.
     """
+    occ = occ4_fn or occ4
     c = jnp.asarray(c, jnp.int32)
-    cntk = occ4(fmd, ik.start - 1)
-    cntl = occ4(fmd, ik.start + ik.size - 1)
+    cntk = occ(fmd, ik.start - 1)
+    cntl = occ(fmd, ik.start + ik.size - 1)
     cnts = cntl - cntk  # [...,4]
     straddles = (ik.start <= fmd.primary) & (ik.start + ik.size > fmd.primary)
     base = ik.start_rc + straddles.astype(jnp.int32)

@@ -27,7 +27,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ma_tpu.ops.occ import FMDDev, SAI, extend_backward, init_interval
+from ma_tpu.ops.occ import FMDDev, SAI
+from ma_tpu.ops.occ import extend_backward as _extend_backward
+from ma_tpu.ops.occ import init_interval as _init_interval
 
 # state-machine phases
 P_NEW_CENTER = 0
@@ -106,11 +108,16 @@ def max_spanning_seeding(
     min_ambiguity: int = 0,
     max_ambiguity: int = 100,
     iter_cap: int | None = None,
+    ext_ops=None,
 ) -> SegmentBatch:
     """Maximally-spanning seeding for a batch of reads.
 
     Returns a SegmentBatch; empty reads (len==0) produce no segments.
+    `ext_ops` overrides (init_interval, extend_backward) — used by the
+    sharded-index path (parallel/sharded_fmd.py) to swap in collective
+    lookups without duplicating the state machine.
     """
+    init_interval, extend_backward = ext_ops or (_init_interval, _extend_backward)
     seqs = jnp.asarray(seqs, jnp.int32)
     B, L = seqs.shape
     lens = jnp.asarray(lens, jnp.int32)
@@ -351,6 +358,7 @@ def smem_seeding(
     min_ambiguity: int = 0,
     max_ambiguity: int = 100,
     iter_cap: int | None = None,
+    ext_ops=None,
 ) -> SegmentBatch:
     """Li's SMEM extension scheme, batched (binarySeeding.h smemExtension:261-452).
 
@@ -363,6 +371,7 @@ def smem_seeding(
     The backward step extends all <= max_pending intervals of every read in
     one vectorized [B, K] occ gather per iteration.
     """
+    init_interval, extend_backward = ext_ops or (_init_interval, _extend_backward)
     seqs = jnp.asarray(seqs, jnp.int32)
     B, L = seqs.shape
     K = max_pending
