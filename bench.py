@@ -71,6 +71,11 @@ def main():
     res = aligner.align_batch(warm)
     t_warm = time.perf_counter() - t0
     n_aligned = sum(1 for r in res if r)
+    if aligner.profiler is not None:
+        # drop warmup/compile time so the table reflects steady state
+        from ma_tpu.utils.profile import AnalyzeRuntimes as _AR
+
+        aligner.profiler = _AR()
 
     t0 = time.perf_counter()
     with open(os.devnull, "w") as devnull:

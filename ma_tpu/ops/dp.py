@@ -284,13 +284,26 @@ def banded_align_traceback(
     max cell for extensions (si = -1 -> nothing aligned, empty output)."""
     import os
 
-    if os.environ.get("MA_TPU_DP") == "pallas":
+    kernel = os.environ.get("MA_TPU_DP", "rows")
+    if kernel == "pallas":
         from ma_tpu.ops.dp_pallas import banded_align_pallas
 
         res = banded_align_pallas(
             q, t, qlen, tlen, band, params=params, zdrop=zdrop,
             is_global=is_global,
         )
+    elif kernel == "rows":
+        from ma_tpu.ops.dp_rows import banded_align_rows, traceback_device_rows
+
+        res = banded_align_rows(q, t, qlen, tlen, band, params, zdrop, is_global)
+        if is_global:
+            si = jnp.asarray(qlen, jnp.int32) - 1
+            sj = jnp.asarray(tlen, jnp.int32) - 1
+        else:
+            si, sj = res.max_i, res.max_j
+        ops, n_ops, rem_i, rem_j = traceback_device_rows(res.dirs, si, sj)
+        return (ops, n_ops, rem_i, rem_j, res.score, res.max_i, res.max_j,
+                res.zdropped)
     else:
         res = banded_align(q, t, qlen, tlen, band, params, zdrop, is_global)
     if is_global:
@@ -300,6 +313,55 @@ def banded_align_traceback(
         si, sj = res.max_i, res.max_j
     ops, n_ops, rem_i, rem_j = traceback_device(res.dirs, si, sj)
     return ops, n_ops, rem_i, rem_j, res.score, res.max_i, res.max_j, res.zdropped
+
+
+def rle_ops_batch(ops: np.ndarray, n_ops: np.ndarray, rem_i: np.ndarray,
+                  rem_j: np.ndarray):
+    """Vectorized host RLE of a whole traceback batch.
+
+    ops [P, S] uint8 back-to-front rows, n_ops/rem_i/rem_j [P].
+    Returns a list of P cigars ([(op, len)] forward order) — one numpy pass
+    over the batch instead of a Python loop per problem (the per-problem
+    rle_ops dominated wall time at ~10k problems per read batch).
+    """
+    P, S = ops.shape
+    n_ops = np.asarray(n_ops, np.int64)
+    # forward order: row p is ops[p, :n[p]][::-1] -> gather at n-1-j, clip
+    j = np.arange(S, dtype=np.int64)
+    idx = np.clip(n_ops[:, None] - 1 - j[None, :], 0, S - 1)
+    fwd = np.take_along_axis(ops, idx, axis=1)
+    valid = j[None, :] < n_ops[:, None]
+    fwd = np.where(valid, fwd, OP_NONE)
+    # run starts: first valid col, or op change while valid
+    start = valid & ((j[None, :] == 0) | (fwd != np.roll(fwd, 1, axis=1)))
+    rp, rj = np.nonzero(start)
+    run_op = fwd[rp, rj]
+    # run end = next start in same row or n_ops[row]
+    next_start = np.empty(len(rp), np.int64)
+    next_start[:-1] = np.where(rp[:-1] == rp[1:], rj[1:], n_ops[rp[:-1]])
+    if len(rp):
+        next_start[-1] = n_ops[rp[-1]]
+    run_len = next_start - rj
+    # split into per-problem lists
+    row_bounds = np.searchsorted(rp, np.arange(P + 1))
+    cigars: list[list[tuple[int, int]]] = []
+    rem_i = np.asarray(rem_i)
+    rem_j = np.asarray(rem_j)
+    for p in range(P):
+        cigar: list[tuple[int, int]] = []
+        if rem_j[p] >= 0:
+            cigar.append((OP_D, int(rem_j[p]) + 1))
+        if rem_i[p] >= 0:
+            cigar.append((OP_I, int(rem_i[p]) + 1))
+        s, e = row_bounds[p], row_bounds[p + 1]
+        for k in range(s, e):
+            op, ln = int(run_op[k]), int(run_len[k])
+            if cigar and cigar[-1][0] == op:
+                cigar[-1] = (op, cigar[-1][1] + ln)
+            else:
+                cigar.append((op, ln))
+        cigars.append([c for c in cigar if c[1] > 0])
+    return cigars
 
 
 def rle_ops(ops_row: np.ndarray, n: int, rem_i: int, rem_j: int):

@@ -457,6 +457,8 @@ class Aligner:
         """Host half: DP fill/extend + assembly + mapping quality."""
         pset = self.pset
         nw = NWAligner(self.pack, self.nw_cfg)
+        with stage_timer(self.profiler, "device stage wait"):
+            jax.block_until_ready(harm)
         hq = np.asarray(harm.q_start)
         hl = np.asarray(harm.length)
         hr = np.asarray(harm.ref_start)

@@ -38,7 +38,7 @@ from ma_tpu.containers.alignment import (
     SEED,
 )
 from ma_tpu.containers.pack import Pack
-from ma_tpu.ops.dp import (DPParams, banded_align, banded_align_traceback, rle_ops, OP_M, OP_I, OP_D)
+from ma_tpu.ops.dp import (DPParams, banded_align, banded_align_traceback, rle_ops, rle_ops_batch, OP_M, OP_I, OP_D)
 
 
 def _next_pow2(n: int, lo: int = 8) -> int:
@@ -216,20 +216,20 @@ class NWAligner:
     # fixed (M, N) bucket ladder: problems round up to one of these, so the
     # jitted DP program compiles for a handful of shapes ever (data-dependent
     # per-batch shapes caused a recompile per new shape = tens of seconds on
-    # TPU, dwarfing the actual DP work)
-    BUCKETS = [
-        (16, 64), (32, 128), (64, 256), (128, 512), (256, 1024),
-        (512, 2048), (1024, 4096), (2048, 8192), (4096, 16384),
-        (8192, 32768), (16384, 65536),
-    ]
+    # TPU, dwarfing the actual DP work). M and N are bucketed INDEPENDENTLY:
+    # read-end extensions have tiny query overhangs against ~band-wide ref
+    # windows (n ~ m + 513), and the row-sweep kernel's step count is M, so
+    # coupling M to N (the old (256,1024) bucket) wasted a 16x lane width.
+    # 768 covers the extension window n <= m + 513 for all m <= 255.
+    N_LADDER = [64, 128, 256, 768, 1024, 2048, 4096, 8192, 16384, 65536]
 
     @classmethod
     def _bucket_shape(cls, m: int, n: int):
-        for (M, N) in cls.BUCKETS:
-            if m <= M and n <= N:
+        M = _next_pow2(m, lo=16)
+        for N in cls.N_LADDER:
+            if n <= N:
                 return (M, N)
-        M = _next_pow2(m)
-        return (M, _next_pow2(max(n, 4 * M)))
+        return (M, _next_pow2(n))
 
     # ------------------------------------------------------------ execution
     def run_batches(self):
@@ -274,19 +274,16 @@ class NWAligner:
             rem_j = np.asarray(rem_j_d)
             max_i = np.asarray(max_i)
             max_j = np.asarray(max_j)
+            K = len(idxs)
+            cigars = rle_ops_batch(ops[:K], n_ops[:K], rem_i[:K], rem_j[:K])
             for k, i in enumerate(idxs):
                 p = self._problems[i]
                 if is_global:
                     p.max_i, p.max_j = len(p.q) - 1, len(p.t) - 1
-                    p.cigar = rle_ops(ops[k], int(n_ops[k]), int(rem_i[k]),
-                                      int(rem_j[k]))
+                    p.cigar = cigars[k]
                 else:
                     p.max_i, p.max_j = int(max_i[k]), int(max_j[k])
-                    if p.max_i >= 0:
-                        p.cigar = rle_ops(ops[k], int(n_ops[k]), int(rem_i[k]),
-                                          int(rem_j[k]))
-                    else:
-                        p.cigar = []
+                    p.cigar = cigars[k] if p.max_i >= 0 else []
 
     # ------------------------------------------------------------- assembly
     def _append_cigar(self, aln: Alignment, cigar, query, ref, qpos, rpos):
