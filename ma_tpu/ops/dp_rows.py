@@ -220,12 +220,15 @@ def traceback_device_rows(dirs: jax.Array, si: jax.Array, sj: jax.Array):
     Same contract as dp.traceback_device: returns (ops [P, S] uint8 emitted
     back-to-front, n_ops [P], rem_i [P], rem_j [P])."""
     P, M, N = dirs.shape
-    S = M + N
+    S_path = M + N
+    # pad the op buffer to a multiple of 128 lanes: device->host transfers
+    # of misaligned trailing dims are catastrophically slow on the tunnel
+    S = ((S_path + 127) // 128) * 128
     parr = jnp.arange(P)
 
     def cond(carry):
         i, j, mode, done, k, ops = carry
-        return (~jnp.all(done)) & (k < S)
+        return (~jnp.all(done)) & (k < S_path)
 
     def body(carry):
         i, j, mode, done, k, ops = carry

@@ -94,10 +94,12 @@ def _contig_segment(pack: Pack, pos: int) -> Tuple[int, int]:
 class NWAligner:
     """Batched gap-filling / extension DP for harmonized seed sets."""
 
-    def __init__(self, pack: Pack, config: NWConfig | None = None):
+    def __init__(self, pack: Pack, config: NWConfig | None = None,
+                 profiler=None):
         self.pack = pack
         self.cfg = config or NWConfig()
         self._problems: List[DPProblem] = []
+        self.profiler = profiler
 
     # ------------------------------------------------------------- planning
     def _new_problem(self, q, t, band, is_global) -> int:
@@ -220,20 +222,33 @@ class NWAligner:
     # read-end extensions have tiny query overhangs against ~band-wide ref
     # windows (n ~ m + 513), and the row-sweep kernel's step count is M, so
     # coupling M to N (the old (256,1024) bucket) wasted a 16x lane width.
-    # 768 covers the extension window n <= m + 513 for all m <= 255.
-    N_LADDER = [64, 128, 256, 768, 1024, 2048, 4096, 8192, 16384, 65536]
+    # 768 covers the extension window n <= m + 513 for all m <= 255. Both
+    # ladders are deliberately coarse (factor 4) so the full key set for a
+    # read-length bucket shows up in the warmup batch — a key first seen
+    # mid-run costs a fresh compile on the chip.
+    N_LADDER = [64, 256, 768, 4096, 16384, 65536]
+    M_LADDER = [16, 64, 256, 1024, 4096, 16384]
 
     @classmethod
     def _bucket_shape(cls, m: int, n: int):
-        M = _next_pow2(m, lo=16)
-        for N in cls.N_LADDER:
-            if n <= N:
-                return (M, N)
-        return (M, _next_pow2(n))
+        M = next((v for v in cls.M_LADDER if m <= v), _next_pow2(m))
+        N = next((v for v in cls.N_LADDER if n <= v), _next_pow2(n))
+        return (M, N)
+
+    @staticmethod
+    def _max_p(M: int, N: int) -> int:
+        """Problems per device call: capped so the [P, M, N] direction
+        tensor stays within ~1 GB of HBM."""
+        cap = 4096
+        while cap > 64 and cap * M * N > 2**30:
+            cap //= 2
+        return cap
 
     # ------------------------------------------------------------ execution
     def run_batches(self):
         """Solve all planned DP problems with bucketed device calls."""
+        import jax as _jax
+
         cfg = self.cfg
         buckets: Dict[tuple, List[int]] = {}
         for i, p in enumerate(self._problems):
@@ -242,15 +257,17 @@ class NWAligner:
             buckets.setdefault(key, []).append(i)
         all_buckets = []
         for key, idxs in buckets.items():
-            # cap problems per device call: the [P, D, M] direction tensor
-            # must fit HBM (P=4096 at the (256,1024) bucket is ~1.3 GB)
-            MAX_P = 4096
+            MAX_P = self._max_p(key[0], key[1])
             for s in range(0, len(idxs), MAX_P):
                 all_buckets.append((key, idxs[s : s + MAX_P]))
+        # On accelerators ALWAYS pad the problem count to the bucket cap:
+        # compiles on the tunneled chip cost tens of seconds, and a
+        # problem-count-dependent P meant every new count was a fresh
+        # (P, M, N) program mid-run — far more expensive than padded
+        # execution. On CPU (tests) pad to the next power of two instead.
+        on_accel = _jax.devices()[0].platform != "cpu"
         for (M, N, is_global), idxs in all_buckets:
-            # pad the problem count to a power of two as well — every array
-            # dimension must come from a small fixed set or jit recompiles
-            P = _next_pow2(len(idxs), lo=8)
+            P = self._max_p(M, N) if on_accel else _next_pow2(len(idxs), lo=8)
             qa = np.full((P, M), 4, np.uint8)
             ta = np.full((P, N), 4, np.uint8)
             qlen = np.ones(P, np.int32)
@@ -261,19 +278,19 @@ class NWAligner:
                 qa[k, : len(p.q)] = p.q
                 ta[k, : len(p.t)] = p.t
                 qlen[k], tlen[k], band[k] = len(p.q), len(p.t), p.band
-            ops_d, n_ops_d, rem_i_d, rem_j_d, _scr, max_i, max_j, _zd = (
-                banded_align_traceback(
-                    jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(qlen),
-                    jnp.asarray(tlen), jnp.asarray(band), params=cfg.params,
+            from ma_tpu.ops.dp import banded_align_traceback_packed
+            from ma_tpu.utils.profile import stage_timer
+
+            with stage_timer(
+                self.profiler,
+                f"dp {('glob' if is_global else 'ext')} {M}x{N} P{P}",
+            ):
+                ops, meta = banded_align_traceback_packed(
+                    qa, ta, qlen, tlen, band, params=cfg.params,
                     zdrop=-1 if is_global else cfg.zdrop, is_global=is_global,
                 )
-            )
-            ops = np.asarray(ops_d)
-            n_ops = np.asarray(n_ops_d)
-            rem_i = np.asarray(rem_i_d)
-            rem_j = np.asarray(rem_j_d)
-            max_i = np.asarray(max_i)
-            max_j = np.asarray(max_j)
+            n_ops, rem_i, rem_j = meta[0], meta[1], meta[2]
+            max_i, max_j = meta[4], meta[5]
             K = len(idxs)
             cigars = rle_ops_batch(ops[:K], n_ops[:K], rem_i[:K], rem_j[:K])
             for k, i in enumerate(idxs):
