@@ -132,8 +132,7 @@ class DeviceStageConfig:
         )
 
 
-@jax.jit
-def _harm_pack(harm: HarmBatch):
+def _harm_pack_core(harm: HarmBatch):
     """Device-side CSR compaction of a HarmBatch for the host transfer.
 
     The tunnel moves ~30 MB/s, so the raw [B, G, M] seed planes (~26 MB per
@@ -158,6 +157,11 @@ def _harm_pack(harm: HarmBatch):
         ]
     )
     return out, meta
+
+
+# standalone jitted variant (used when a HarmBatch arrives without its
+# packed form, e.g. from a custom device stage)
+_harm_pack = jax.jit(_harm_pack_core)
 
 
 def _soc_min_score(cfg, lens, genome_text_len):
@@ -225,7 +229,9 @@ def device_stage_from_seeds(
         min_delta_dist=cfg.min_delta_dist,
         n_cand=cfg.n_cand,
     )
-    return compact_harm(harm, cfg.max_out_sets), soc
+    ch = compact_harm(harm, cfg.max_out_sets)
+    data, meta = _harm_pack_core(ch)
+    return ch, soc, data, meta
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -289,7 +295,9 @@ def device_stage_mm(
         min_delta_dist=cfg.min_delta_dist,
         n_cand=cfg.n_cand,
     )
-    return compact_harm(harm, cfg.max_out_sets), soc
+    ch = compact_harm(harm, cfg.max_out_sets)
+    data, meta = _harm_pack_core(ch)
+    return ch, soc, data, meta
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -352,7 +360,9 @@ def device_stage(
         min_delta_dist=cfg.min_delta_dist,
         n_cand=cfg.n_cand,
     )
-    return compact_harm(harm, cfg.max_out_sets), soc
+    ch = compact_harm(harm, cfg.max_out_sets)
+    data, meta = _harm_pack_core(ch)
+    return ch, soc, data, meta
 
 
 class Aligner:
@@ -475,18 +485,19 @@ class Aligner:
             seqs[i, : len(r)] = r.codes
             lens[i] = len(r)
         with stage_timer(self.profiler, "device seed+soc+harmonize"):
-            harm, soc = self.run_device_stage(seqs, lens)
-            jax.block_until_ready(harm)
-        return self.finish_batch(reads, harm)
+            harm, soc, data, meta = self.run_device_stage(seqs, lens)
+            jax.block_until_ready(meta)
+        return self.finish_batch(reads, harm, data, meta)
 
     def finish_batch(
-        self, reads: Sequence[NucSeq], harm: HarmBatch
+        self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None
     ) -> List[List[Alignment]]:
         """Host half: DP fill/extend + assembly + mapping quality."""
         pset = self.pset
         nw = NWAligner(self.pack, self.nw_cfg, profiler=self.profiler)
         with stage_timer(self.profiler, "device stage wait"):
-            data_d, meta_d = _harm_pack(harm)
+            if data_d is None:
+                data_d, meta_d = _harm_pack(harm)
             meta = np.asarray(meta_d)
             B, G, M = harm.q_start.shape
             hsv = meta[0].reshape(B, G).astype(bool)
@@ -600,13 +611,15 @@ class Aligner:
                 seqs[i, : len(r)] = r.codes
                 lens[i] = len(r)
             with stage_timer(self.profiler, "device seed+soc+harmonize"):
-                harm, _soc = self.run_device_stage(seqs, lens)
-            return bucket, harm
+                harm, _soc, data, meta = self.run_device_stage(seqs, lens)
+            return bucket, harm, data, meta
 
         def finish(pending):
             nonlocal n
-            bucket, harm = pending
-            for read, alns in zip(bucket, self.finish_batch(bucket, harm)):
+            bucket, harm, data, meta = pending
+            for read, alns in zip(
+                bucket, self.finish_batch(bucket, harm, data, meta)
+            ):
                 if omit_sec:
                     alns = [a for a in alns if not a.secondary]
                 if omit_sup:
