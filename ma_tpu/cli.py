@@ -79,6 +79,7 @@ def create_index(fasta: str, folder: str, name: str, log=print) -> str:
     from ma_tpu.index.fmd_index import FMDIndex
     from ma_tpu.index.minimizer import MinimizerIndex
 
+    os.makedirs(folder, exist_ok=True)
     prefix = os.path.join(folder, name)
     log(f"Loading genome {fasta} ...")
     pack = Pack.from_fasta(fasta)
@@ -136,7 +137,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(generate_help(mgr))
                 return 0
             if opt == "-x" or key == "index":
-                index_prefix = nxt
+                # accept both the manifest path (idx/g.json) and the prefix
+                index_prefix = nxt[:-5] if nxt and nxt.endswith(".json") else nxt
                 i += 2
                 continue
             if opt == "-i" or key == "in":

@@ -83,6 +83,11 @@ class ParameterSet:
         self.by_short: Dict[str, Parameter] = {}
         P = self._add
 
+        # --- General / global (parameter.h:1014-1046; cmdMa -t)
+        # On TPU the device batch is the parallel axis; this sizes the host
+        # worker side (IO + CIGAR assembly) and is otherwise advisory.
+        P("Number of Threads", 0, "Number of host worker threads (0 = auto).", "General", short="t", check=positive)
+
         # --- Dynamic Programming (parameter.h:621-648)
         P("Padding", 1000, "Max length of DP extension towards read endpoints.", "Dynamic Programming", check=positive)
         P("Bandwidth for Extensions", 512, "DP bandwidth for endpoint extensions.", "Dynamic Programming", check=positive)
