@@ -414,6 +414,66 @@ def banded_align_traceback_packed(
     return ops, meta
 
 
+@functools.partial(jax.jit, static_argnames=("M", "N", "params", "zdrop", "is_global"))
+def _dp_tb_desc(text, seqs, desc, M, N, params, zdrop, is_global):
+    """banded_align_traceback with DEVICE-RESIDENT operands.
+
+    The tunnel moves ~20-30 MB/s, so shipping per-problem query/ref windows
+    (the old packed path) dominated the DP stage wall time. Here the genome
+    text (folded [0,2L) codes) and the read batch are already on device; the
+    host ships only an int32 descriptor per problem.
+
+    text: uint8 [T] folded genome codes (0..4)
+    seqs: uint8 [B, L] read-batch codes (padding rows are fine)
+    desc: int32 [8, P]: b, q_off, q_len, q_rev, t_start, t_len, t_rev, band
+    Returns (ops [P, S] uint8, meta_out [7, P] int32) like _dp_tb_packed.
+    """
+    b, q_off, q_len, q_rev, t_start, t_len, t_rev, band = desc
+    L = seqs.shape[1]
+    T = text.shape[0]
+    mi = jnp.arange(M, dtype=jnp.int32)[None, :]
+    qidx = jnp.where(
+        q_rev[:, None] == 1,
+        q_off[:, None] + q_len[:, None] - 1 - mi,
+        q_off[:, None] + mi,
+    )
+    qflat = (b[:, None] * L + jnp.clip(qidx, 0, L - 1)).reshape(-1)
+    q = seqs.reshape(-1)[qflat].reshape(-1, M)
+    q = jnp.where(mi < q_len[:, None], q, jnp.uint8(4)).astype(jnp.int32)
+    nj = jnp.arange(N, dtype=jnp.int32)[None, :]
+    tidx = jnp.where(
+        t_rev[:, None] == 1,
+        t_start[:, None] + t_len[:, None] - 1 - nj,
+        t_start[:, None] + nj,
+    )
+    t = text[jnp.clip(tidx, 0, T - 1)]
+    t = jnp.where(nj < t_len[:, None], t, jnp.uint8(4)).astype(jnp.int32)
+    ops, n_ops, rem_i, rem_j, score, max_i, max_j, zd = banded_align_traceback(
+        q, t, q_len, t_len, band, params=params, zdrop=zdrop, is_global=is_global
+    )
+    meta_out = jnp.stack(
+        [n_ops, rem_i, rem_j, score, max_i, max_j, zd.astype(jnp.int32)]
+    ).astype(jnp.int32)
+    return ops, meta_out
+
+
+def banded_align_traceback_desc(
+    text_dev, seqs_dev, desc: np.ndarray, M: int, N: int,
+    params: DPParams = DPParams(), zdrop: int = -1, is_global: bool = True,
+):
+    """Host wrapper for the descriptor path: one small int32 upload, then a
+    column-sliced ops download sized by the actual longest traceback."""
+    ops_d, meta_d = _dp_tb_desc(
+        text_dev, seqs_dev, jnp.asarray(desc, jnp.int32), M=M, N=N,
+        params=params, zdrop=zdrop, is_global=is_global,
+    )
+    meta = np.asarray(meta_d)
+    smax = int(meta[0].max(initial=0))
+    S128 = min(ops_d.shape[1], max(128, ((smax + 127) // 128) * 128))
+    ops = np.asarray(ops_d[:, :S128])
+    return ops, meta
+
+
 def rle_ops_batch(ops: np.ndarray, n_ops: np.ndarray, rem_i: np.ndarray,
                   rem_j: np.ndarray):
     """Vectorized host RLE of a whole traceback batch.

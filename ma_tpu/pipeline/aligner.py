@@ -390,6 +390,23 @@ class Aligner:
         self._mmi_dev = None
         self._index_prefix = index_prefix
         self.profiler: AnalyzeRuntimes | None = None
+        self._text_dev = None
+
+    @property
+    def text_dev(self):
+        """Folded genome codes [2L] uint8 on device (fwd || revcomp), so DP
+        ref windows are sliced on device instead of shipped per problem
+        through the ~25 MB/s tunnel (see ops/dp.py _dp_tb_desc)."""
+        if self._text_dev is None:
+            from ma_tpu.containers.nucseq import revcomp_codes
+
+            codes = np.asarray(self.pack.codes, np.uint8)
+            text = np.concatenate([codes, revcomp_codes(codes)])
+            pad = (-len(text)) % 128  # misaligned transfers are ~100x slower
+            if pad:
+                text = np.concatenate([text, np.full(pad, 4, np.uint8)])
+            self._text_dev = jnp.asarray(text)
+        return self._text_dev
 
     def _mem_seed_batch(self, seqs: np.ndarray, lens: np.ndarray, cfg):
         """Host MEM seeding -> SeedBatch (memExtension is an O(L^2) host
@@ -447,21 +464,26 @@ class Aligner:
 
     # ----------------------------------------------------------------- device
     def run_device_stage(self, seqs: np.ndarray, lens: np.ndarray):
-        """Run the jitted device stage on a [B, L] batch of codes."""
+        """Run the jitted device stage on a [B, L] batch of codes.
+
+        Returns (harm, soc, packed_data, packed_meta, seqs_dev) — seqs_dev is
+        the uploaded read batch, kept for descriptor-mode DP (ops/dp.py)."""
         cfg = DeviceStageConfig.from_params(self.pset, seqs.shape[1])
         seqs_j = jnp.asarray(seqs)
         lens_j = jnp.asarray(lens, jnp.int32)
         if cfg.seeding_technique == "minimizers":
-            return device_stage_mm(
+            out = device_stage_mm(
                 cfg, self.mmi_dev(cfg), self.contig_starts,
                 self.pack.unpacked_size_forward_strand, seqs_j, lens_j,
             )
+            return (*out, seqs_j)
         if cfg.seeding_technique == "MEMs":
-            return device_stage_from_seeds(
+            out = device_stage_from_seeds(
                 cfg, self.contig_starts,
                 self.pack.unpacked_size_forward_strand,
                 self._mem_seed_batch(seqs, lens, cfg), lens_j,
             )
+            return (*out, seqs_j)
         if self.sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -470,7 +492,8 @@ class Aligner:
             lens_j = jax.device_put(
                 lens_j, NamedSharding(self.sharding.mesh, PartitionSpec(batch_axis))
             )
-        return device_stage(cfg, self.dev, self.contig_starts, seqs_j, lens_j)
+        out = device_stage(cfg, self.dev, self.contig_starts, seqs_j, lens_j)
+        return (*out, seqs_j)
 
     # ------------------------------------------------------------------- host
     def align_batch(self, reads: Sequence[NucSeq]) -> List[List[Alignment]]:
@@ -485,16 +508,21 @@ class Aligner:
             seqs[i, : len(r)] = r.codes
             lens[i] = len(r)
         with stage_timer(self.profiler, "device seed+soc+harmonize"):
-            harm, soc, data, meta = self.run_device_stage(seqs, lens)
+            harm, soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
             jax.block_until_ready(meta)
-        return self.finish_batch(reads, harm, data, meta)
+        return self.finish_batch(reads, harm, data, meta, seqs_dev)
 
     def finish_batch(
-        self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None
+        self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None,
+        seqs_dev=None,
     ) -> List[List[Alignment]]:
         """Host half: DP fill/extend + assembly + mapping quality."""
         pset = self.pset
-        nw = NWAligner(self.pack, self.nw_cfg, profiler=self.profiler)
+        nw = NWAligner(
+            self.pack, self.nw_cfg, profiler=self.profiler,
+            text_dev=self.text_dev if seqs_dev is not None else None,
+            seqs_dev=seqs_dev,
+        )
         with stage_timer(self.profiler, "device stage wait"):
             if data_d is None:
                 data_d, meta_d = _harm_pack(harm)
@@ -525,7 +553,7 @@ class Aligner:
                 ss = [
                     (int(hq[m]), int(hl[m]), int(hr[m])) for m in range(s, e)
                 ]
-                out = nw.plan_set(codes, ss)
+                out = nw.plan_set(codes, ss, read_idx=b)
                 if out is not None:
                     plans.append((b, int(hsoc[b, gset]), out))
         t_plan.__exit__(None, None, None)

@@ -50,10 +50,19 @@ def _next_pow2(n: int, lo: int = 8) -> int:
 
 @dataclasses.dataclass
 class DPProblem:
-    q: np.ndarray  # query segment codes (already reversed for rev extensions)
-    t: np.ndarray  # ref segment codes
+    q: Optional[np.ndarray]  # query segment codes (reversed for rev ext);
+    t: Optional[np.ndarray]  # None in descriptor mode (device-resident)
     band: int
     is_global: bool
+    # descriptor-mode coordinates (device-resident operands; see
+    # ops/dp.py banded_align_traceback_desc)
+    read_idx: int = -1
+    q_off: int = 0
+    q_len: int = 0
+    q_rev: int = 0
+    t_start: int = 0
+    t_len: int = 0
+    t_rev: int = 0
     # results (filled by _run_batches)
     cigar: Optional[List[Tuple[int, int]]] = None
     max_i: int = -1  # extension: last aligned query index (inclusive)
@@ -95,23 +104,47 @@ class NWAligner:
     """Batched gap-filling / extension DP for harmonized seed sets."""
 
     def __init__(self, pack: Pack, config: NWConfig | None = None,
-                 profiler=None):
+                 profiler=None, text_dev=None, seqs_dev=None):
         self.pack = pack
         self.cfg = config or NWConfig()
         self._problems: List[DPProblem] = []
         self.profiler = profiler
+        # descriptor mode: operands stay on device, only int32 descriptors
+        # are uploaded (the per-problem window upload dominated DP wall time
+        # through the ~25 MB/s tunnel)
+        self.text_dev = text_dev
+        self.seqs_dev = seqs_dev
+        self._read_idx = -1  # set by plan_set in descriptor mode
+
+    @property
+    def desc_mode(self) -> bool:
+        return self.text_dev is not None and self.seqs_dev is not None
 
     # ------------------------------------------------------------- planning
-    def _new_problem(self, q, t, band, is_global) -> int:
-        self._problems.append(
-            DPProblem(q=np.asarray(q, np.uint8), t=np.asarray(t, np.uint8),
-                      band=int(band), is_global=is_global)
-        )
+    def _new_problem(self, q, t, band, is_global, q_off=0, q_len=0, q_rev=0,
+                     t_start=0, t_len=0, t_rev=0) -> int:
+        if self.desc_mode:
+            self._problems.append(
+                DPProblem(q=None, t=None, band=int(band), is_global=is_global,
+                          read_idx=self._read_idx, q_off=int(q_off),
+                          q_len=int(q_len), q_rev=int(q_rev),
+                          t_start=int(t_start), t_len=int(t_len),
+                          t_rev=int(t_rev))
+            )
+        else:
+            q = np.asarray(q, np.uint8)
+            t = np.asarray(t, np.uint8)
+            self._problems.append(
+                DPProblem(q=q, t=t, band=int(band), is_global=is_global,
+                          q_len=len(q), t_len=len(t))
+            )
         return len(self._problems) - 1
 
-    def _plan_dyn_prg(self, plan, query, ref, fq, tq, fr, tr, local_begin, local_end):
+    def _plan_dyn_prg(self, plan, query, ref, fq, tq, fr, tr, local_begin,
+                      local_end, begin_ref=0):
         """dynPrg (needlemanWunsch.cpp:499-543): emit plan tokens."""
         cfg = self.cfg
+        desc = self.desc_mode
         if tr <= fr and tq <= fq:
             return
         if tq <= fq:
@@ -128,20 +161,31 @@ class NWAligner:
                 # is exact, and it keeps the DP area (and the direction
                 # matrix shipped to host) proportional to the query.
                 cap = (tq - fq) + cfg.band_ext + 1
+                trl = min(tr, fr + cap)
                 pl = self._new_problem(
-                    query[fq:tq], ref[fr : min(tr, fr + cap)], cfg.band_ext,
-                    is_global=False,
+                    None if desc else query[fq:tq],
+                    None if desc else ref[fr:trl], cfg.band_ext,
+                    is_global=False, q_off=fq, q_len=tq - fq,
+                    t_start=begin_ref + fr, t_len=trl - fr,
                 )
+                frr = max(fr, tr - cap)
                 pr = self._new_problem(
-                    query[fq:tq][::-1], ref[max(fr, tr - cap) : tr][::-1],
-                    cfg.band_ext, is_global=False,
+                    None if desc else query[fq:tq][::-1],
+                    None if desc else ref[frr:tr][::-1],
+                    cfg.band_ext, is_global=False, q_off=fq, q_len=tq - fq,
+                    q_rev=1, t_start=begin_ref + frr, t_len=tr - frr, t_rev=1,
                 )
                 plan.append(("dual", pl, pr, fq, tq, fr, tr))
             else:
                 w = cfg.min_band_gap
                 if abs((tr - fr) - (tq - fq)) + 10 > w:
                     w = abs((tr - fr) - (tq - fq)) + 10
-                p = self._new_problem(query[fq:tq], ref[fr:tr], w, is_global=True)
+                p = self._new_problem(
+                    None if desc else query[fq:tq],
+                    None if desc else ref[fr:tr], w, is_global=True,
+                    q_off=fq, q_len=tq - fq,
+                    t_start=begin_ref + fr, t_len=tr - fr,
+                )
                 plan.append(("global", p, fq, tq, fr, tr))
             return
         # one-sided extension; clamp the ref window to qlen + band (exact,
@@ -150,23 +194,33 @@ class NWAligner:
         cap = (tq - fq) + cfg.band_ext + 1
         if rev:
             fr2 = max(fr, tr - cap)
-            qseg = query[fq:tq][::-1]
-            tseg = ref[fr2:tr][::-1]
+            p = self._new_problem(
+                None if desc else query[fq:tq][::-1],
+                None if desc else ref[fr2:tr][::-1],
+                cfg.band_ext, is_global=False, q_off=fq, q_len=tq - fq,
+                q_rev=1, t_start=begin_ref + fr2, t_len=tr - fr2, t_rev=1,
+            )
         else:
             tr2 = min(tr, fr + cap)
-            qseg = query[fq:tq]
-            tseg = ref[fr:tr2]
-        p = self._new_problem(qseg, tseg, cfg.band_ext, is_global=False)
+            p = self._new_problem(
+                None if desc else query[fq:tq],
+                None if desc else ref[fr:tr2],
+                cfg.band_ext, is_global=False, q_off=fq, q_len=tq - fq,
+                t_start=begin_ref + fr, t_len=tr2 - fr,
+            )
         plan.append(("ext", p, rev, fq, tq, fr, tr))
 
-    def plan_set(self, query: np.ndarray, seeds: Sequence[Tuple[int, int, int]]):
+    def plan_set(self, query: np.ndarray, seeds: Sequence[Tuple[int, int, int]],
+                 read_idx: int = -1):
         """Plan one harmonized seed set -> (plan tokens, begin_ref) or None.
 
         seeds: [(q_start, length, ref_start_text)] non-empty, any order;
         sorted here by (ref, q) like harmonizeOne's output ordering.
+        read_idx: row of this read in the device batch (descriptor mode).
         """
         cfg = self.cfg
         pack = self.pack
+        self._read_idx = read_idx
         qlen = len(query)
         seeds = sorted((s for s in seeds if s[1] > 0), key=lambda s: (s[2], s[0]))
         if not seeds:
@@ -188,7 +242,7 @@ class NWAligner:
         front = seeds[0]
         # left end extension
         self._plan_dyn_prg(plan, query, ref, 0, front[0], 0, front[2] - begin_ref,
-                           True, False)
+                           True, False, begin_ref=begin_ref)
         plan.append(("op", SEED, front[1]))
         last_q = front[0] + front[1]
         last_r = front[2] + front[1] - begin_ref
@@ -200,7 +254,8 @@ class NWAligner:
             overlap = max(ov_q, ov_r)
             if sl > overlap:
                 self._plan_dyn_prg(plan, query, ref, last_q, sq, last_r,
-                                   sr - begin_ref, False, False)
+                                   sr - begin_ref, False, False,
+                                   begin_ref=begin_ref)
                 if ov_q > ov_r:
                     plan.append(("op", DELETION, ov_q - ov_r))
                 if ov_r > ov_q:
@@ -212,7 +267,8 @@ class NWAligner:
                     last_r = sr + sl - begin_ref
         # right end extension (note the reference's endQuery-1 / endRef-1)
         self._plan_dyn_prg(plan, query, ref, last_q, qlen - 1, last_r,
-                           end_ref - begin_ref - 1, False, True)
+                           end_ref - begin_ref - 1, False, True,
+                           begin_ref=begin_ref)
         return plan, begin_ref, ref
 
     # fixed (M, N) bucket ladder: problems round up to one of these, so the
@@ -252,7 +308,7 @@ class NWAligner:
         cfg = self.cfg
         buckets: Dict[tuple, List[int]] = {}
         for i, p in enumerate(self._problems):
-            M, N = self._bucket_shape(max(len(p.q), 1), max(len(p.t), 1))
+            M, N = self._bucket_shape(max(p.q_len, 1), max(p.t_len, 1))
             key = (M, N, p.is_global)
             buckets.setdefault(key, []).append(i)
         all_buckets = []
@@ -268,27 +324,49 @@ class NWAligner:
         on_accel = _jax.devices()[0].platform != "cpu"
         for (M, N, is_global), idxs in all_buckets:
             P = self._max_p(M, N) if on_accel else _next_pow2(len(idxs), lo=8)
-            qa = np.full((P, M), 4, np.uint8)
-            ta = np.full((P, N), 4, np.uint8)
-            qlen = np.ones(P, np.int32)
-            tlen = np.ones(P, np.int32)
-            band = np.ones(P, np.int32)
-            for k, i in enumerate(idxs):
-                p = self._problems[i]
-                qa[k, : len(p.q)] = p.q
-                ta[k, : len(p.t)] = p.t
-                qlen[k], tlen[k], band[k] = len(p.q), len(p.t), p.band
-            from ma_tpu.ops.dp import banded_align_traceback_packed
+            from ma_tpu.ops.dp import (
+                banded_align_traceback_desc,
+                banded_align_traceback_packed,
+            )
             from ma_tpu.utils.profile import stage_timer
 
             with stage_timer(
                 self.profiler,
                 f"dp {('glob' if is_global else 'ext')} {M}x{N} P{P}",
             ):
-                ops, meta = banded_align_traceback_packed(
-                    qa, ta, qlen, tlen, band, params=cfg.params,
-                    zdrop=-1 if is_global else cfg.zdrop, is_global=is_global,
-                )
+                if self.desc_mode:
+                    desc = np.zeros((8, P), np.int32)
+                    desc[2] = 1  # q_len
+                    desc[5] = 1  # t_len
+                    desc[7] = 1  # band
+                    for k, i in enumerate(idxs):
+                        p = self._problems[i]
+                        desc[:, k] = (
+                            p.read_idx, p.q_off, p.q_len, p.q_rev,
+                            p.t_start, p.t_len, p.t_rev, p.band,
+                        )
+                    ops, meta = banded_align_traceback_desc(
+                        self.text_dev, self.seqs_dev, desc, M=M, N=N,
+                        params=cfg.params,
+                        zdrop=-1 if is_global else cfg.zdrop,
+                        is_global=is_global,
+                    )
+                else:
+                    qa = np.full((P, M), 4, np.uint8)
+                    ta = np.full((P, N), 4, np.uint8)
+                    qlen = np.ones(P, np.int32)
+                    tlen = np.ones(P, np.int32)
+                    band = np.ones(P, np.int32)
+                    for k, i in enumerate(idxs):
+                        p = self._problems[i]
+                        qa[k, : len(p.q)] = p.q
+                        ta[k, : len(p.t)] = p.t
+                        qlen[k], tlen[k], band[k] = len(p.q), len(p.t), p.band
+                    ops, meta = banded_align_traceback_packed(
+                        qa, ta, qlen, tlen, band, params=cfg.params,
+                        zdrop=-1 if is_global else cfg.zdrop,
+                        is_global=is_global,
+                    )
             n_ops, rem_i, rem_j = meta[0], meta[1], meta[2]
             max_i, max_j = meta[4], meta[5]
             K = len(idxs)
@@ -296,7 +374,7 @@ class NWAligner:
             for k, i in enumerate(idxs):
                 p = self._problems[i]
                 if is_global:
-                    p.max_i, p.max_j = len(p.q) - 1, len(p.t) - 1
+                    p.max_i, p.max_j = p.q_len - 1, p.t_len - 1
                     p.cigar = cigars[k]
                 else:
                     p.max_i, p.max_j = int(max_i[k]), int(max_j[k])
