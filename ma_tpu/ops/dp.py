@@ -388,7 +388,8 @@ def banded_align_traceback_packed(
 ):
     """Host wrapper: pack inputs, one upload + one small download, then a
     column-sliced ops download sized by the actual longest traceback.
-    Returns (cigars [list per problem via rle], meta rows) — see nw.py."""
+    Returns (ops [P, S] uint8 edit-op codes, meta [7, P] int32); callers
+    run-length-encode ops themselves via rle_ops_batch — see nw.py."""
     P, M = qa.shape
     N = ta.shape[1]
     qp, qn = pack_codes_host(qa)

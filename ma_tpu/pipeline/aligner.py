@@ -639,14 +639,14 @@ class Aligner:
                 seqs[i, : len(r)] = r.codes
                 lens[i] = len(r)
             with stage_timer(self.profiler, "device seed+soc+harmonize"):
-                harm, _soc, data, meta = self.run_device_stage(seqs, lens)
-            return bucket, harm, data, meta
+                harm, _soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
+            return bucket, harm, data, meta, seqs_dev
 
         def finish(pending):
             nonlocal n
-            bucket, harm, data, meta = pending
+            bucket, harm, data, meta, seqs_dev = pending
             for read, alns in zip(
-                bucket, self.finish_batch(bucket, harm, data, meta)
+                bucket, self.finish_batch(bucket, harm, data, meta, seqs_dev)
             ):
                 if omit_sec:
                     alns = [a for a in alns if not a.secondary]

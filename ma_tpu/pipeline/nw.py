@@ -294,9 +294,11 @@ class NWAligner:
     @staticmethod
     def _max_p(M: int, N: int) -> int:
         """Problems per device call: capped so the [P, M, N] direction
-        tensor stays within ~1 GB of HBM."""
+        tensor stays within ~1 GB of HBM. The cap may fall all the way to 1:
+        a (16384, 65536) global problem is 1 GiB of direction bytes on its
+        own, and flooring at 64 would pad it to 64 GiB (OOM)."""
         cap = 4096
-        while cap > 64 and cap * M * N > 2**30:
+        while cap > 1 and cap * M * N > 2**30:
             cap //= 2
         return cap
 

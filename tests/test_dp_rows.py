@@ -74,6 +74,29 @@ def test_rows_score_parity(seed, M, N, is_global):
         assert und.mean() > 0.5  # the comparison must not be vacuous
 
 
+def test_rows_zdrop_rate_close_to_diagonal():
+    """The row-sweep kernel evaluates z-drop per row (vs per anti-diagonal
+    in ops/dp.py); trigger points can differ on individual problems, but the
+    aggregate drop rate must stay close — a regression in the row-variant
+    formula (e.g. dropping everything, or never dropping) is caught here."""
+    rng = np.random.default_rng(99)
+    # unrelated sequences: extensions wander off and z-drop fires often
+    q, t, qlen, tlen, band = _random_problems(rng, 256, 128, 256,
+                                              related=False)
+    ref = banded_align(q, t, qlen, tlen, band, P, zdrop=20, is_global=False)
+    got = banded_align_rows(q, t, qlen, tlen, band, P, zdrop=20,
+                            is_global=False)
+    r = np.asarray(ref.zdropped).mean()
+    g = np.asarray(got.zdropped).mean()
+    assert r > 0.05, "z-drop comparison is vacuous (reference never drops)"
+    assert abs(r - g) < 0.15, (r, g)
+    # problems both kernels leave undropped must agree exactly (already
+    # covered above, re-asserted here on the drop-heavy workload)
+    und = ~np.asarray(ref.zdropped) & ~np.asarray(got.zdropped)
+    np.testing.assert_array_equal(np.asarray(got.score)[und],
+                                  np.asarray(ref.score)[und])
+
+
 @pytest.mark.parametrize("seed,M,N,is_global", [
     (10, 16, 64, True),
     (11, 16, 96, False),
