@@ -29,17 +29,43 @@ def sam_header(pack: Pack, cmd: str = "ma_tpu") -> str:
     return "\n".join(lines) + "\n"
 
 
+MAX_CIGAR_OPS = 0x10000  # fileWriter.h uiMaxCigarLen:93
+
+
+def needs_cg_tag(aln: Alignment, cg_tag: bool) -> bool:
+    """BAM caps CIGARs at 65,535 ops; the reference moves longer ones into
+    the CG:B:I tag (fileWriter.cpp:34-36, fileWriter.h computeTag:327-355)."""
+    return cg_tag and len(aln.data) >= MAX_CIGAR_OPS
+
+
+def cg_tag_value(aln: Alignment) -> str:
+    """CG:B:I payload: one BAM-encoded op (size << 4 | op) per data entry
+    (fileWriter.h:329-355; seed/match -> '=' (7), mismatch -> 'X' (8),
+    insertion -> 'I' (1), deletion -> 'D' (2))."""
+    from ma_tpu.containers.alignment import DELETION, INSERTION, MATCH, MISMATCH, SEED
+
+    op_code = {SEED: 7, MATCH: 7, MISMATCH: 8, INSERTION: 1, DELETION: 2}
+    return "\tCG:B:I" + "".join(
+        f",{(size << 4) | op_code.get(op, 7)}" for op, size in aln.data
+    )
+
+
 def sam_record(
     aln: Alignment,
     query: NucSeq,
     pack: Pack,
     soft_clip: bool = False,
     use_m_cigar: bool = True,
+    cg_tag: bool = False,
 ) -> str:
     rev = bool(pack.is_reverse_strand(aln.begin_on_ref))
     flag = aln.sam_flag(pack)
     pos = aln.sam_position(pack)
-    cig = aln.cigar(pack, len(query), soft_clip=soft_clip, use_m=use_m_cigar)
+    if needs_cg_tag(aln, cg_tag):
+        # CIGAR column becomes "<query span>S"; ops go to CG (fileWriter.cpp:34-36)
+        cig = f"{aln.end_on_query - aln.begin_on_query}S"
+    else:
+        cig = aln.cigar(pack, len(query), soft_clip=soft_clip, use_m=use_m_cigar)
     if soft_clip:
         codes = query.codes
         qual = query.qual or "*"
@@ -75,23 +101,28 @@ class SamWriter:
 
     def __init__(self, out: IO[str], pack: Pack, cmd: str = "ma_tpu",
                  soft_clip: bool = False, use_m_cigar: bool = True,
-                 ngmlr_tags: bool = False):
+                 ngmlr_tags: bool = False, cg_tag: bool = True):
         self.out = out
         self.pack = pack
         self.soft_clip = soft_clip
         self.use_m = use_m_cigar
         self.ngmlr_tags = ngmlr_tags
+        self.cg_tag = cg_tag
         out.write(sam_header(pack, cmd))
 
     def write(self, alignments: Iterable[Alignment], query: NucSeq) -> None:
         alignments = list(alignments)
         for aln in alignments:
-            line = sam_record(aln, query, self.pack, self.soft_clip, self.use_m)
+            line = sam_record(
+                aln, query, self.pack, self.soft_clip, self.use_m, cg_tag=self.cg_tag
+            )
             if self.ngmlr_tags:
                 line += compute_tags(
                     aln, query, self.pack, alignments,
                     soft_clip=self.soft_clip, use_m_cigar=self.use_m,
                 )
+            if needs_cg_tag(aln, self.cg_tag):
+                line += cg_tag_value(aln)
             self.out.write(line + "\n")
 
 

@@ -103,25 +103,7 @@ def soc_collect(
     plen_ex = _exclusive(plen)
     pamb_ex = _exclusive(pamb)
 
-    # gathers/scatters with per-lane indices are slow on TPU; all loop-body
-    # lookups below use masked reductions over the (small) row instead, and
-    # the barrier keeps XLA from rematerializing the prefix sums per step
-    plen, pamb, plen_ex, pamb_ex = jax.lax.optimization_barrier(
-        (plen, pamb, plen_ex, pamb_ex)
-    )
-    S_range = jnp.arange(S)[None, :]
-
-    def sel_s(arr, idx):  # arr [B, S], idx [B] -> arr[b, idx[b]]
-        return jnp.where(S_range == idx[:, None], arr, 0).sum(axis=1)
-
-    def range_score(l, r):  # over [l, r)
-        l = jnp.clip(l, 0, S - 1)
-        rr = jnp.clip(r - 1, 0, S - 1)
-        sl = jnp.where(r > l, sel_s(plen, rr) - sel_s(plen_ex, l), 0)
-        sa = jnp.where(r > l, sel_s(pamb, rr) - sel_s(pamb_ex, l), 0)
-        return sl, sa
-
-    # ---- 4. window ends per start
+    # ---- 4. window ends per start + full-window scores, all vectorized
     if fixed_width:
         width = jnp.full((B,), fixed_width, jnp.int32)
     else:
@@ -129,123 +111,125 @@ def soc_collect(
     limit = sd.delta + width[:, None]
     j_raw = jax.vmap(lambda d, lim: jnp.searchsorted(d, lim, side="right"))(sd.delta, limit)
     win_end = jnp.minimum(jnp.minimum(j_raw.astype(jnp.int32), run_end), n[:, None])
-    win_end = jax.lax.optimization_barrier(win_end)
 
-    # ---- 5. the push_back_no_overlap sweep as a micro-op loop
-    M_EVAL, M_VAC = 0, 1
-    barr = jnp.arange(B)
+    # prefix values at each candidate's window boundaries (one gather, done
+    # once — the sweep below then needs NO dynamic [B, S] lookups at all)
+    b2 = jnp.arange(B)[:, None]
+    ridx = jnp.clip(win_end - 1, 0, S - 1)
+    nonempty = win_end > jnp.arange(S)[None, :]
+    pend_all = jnp.where(nonempty, plen[b2, ridx], plen_ex)  # == plen_ex[win_end]
+    aend_all = jnp.where(nonempty, pamb[b2, ridx], pamb_ex)
+    sl_all = pend_all - plen_ex
+    sa_all = aend_all - pamb_ex
 
-    class Carry(NamedTuple):
-        i: jax.Array
-        mode: jax.Array
-        c_start: jax.Array
-        c_end: jax.Array
-        c_len: jax.Array
-        c_amb: jax.Array
-        st_start: jax.Array  # [B, K]
-        st_end: jax.Array
-        st_len: jax.Array
-        st_amb: jax.Array
-        sp: jax.Array
-        over: jax.Array
-        iters: jax.Array
+    # candidate table [S, B, 7]: slicing along axis 0 (major) is contiguous
+    cand_all = jnp.stack(
+        [sl_all, sa_all, win_end, plen_ex, pamb_ex, pend_all, aend_all], axis=-1
+    ).transpose(1, 0, 2)
+    cand_all = jax.lax.optimization_barrier(cand_all)
 
+    # ---- 5. push_back_no_overlap (soc.h:362-404) as a candidate-synchronized
+    # sweep: the outer loop walks a SCALAR candidate index i (all lanes in
+    # lockstep — per-candidate values are contiguous slices of cand_all), and
+    # the inner vacuum loop resolves overlaps against a [B, K] stack that
+    # carries, per strip, the prefix-sum values at its boundaries, so every
+    # shrunk-range score is pure carried arithmetic. Per-step cost is
+    # O(B*K) instead of the O(B*S) of per-lane masked lookups.
+    K = max_socs
+    Krange = jnp.arange(K)[None, :]
+    n_max = jnp.max(n)
+    # stack planes: 0=start 1=end 2=len 3=amb 4=pexs 5=pend 6=aexs 7=aend
+    st0 = jnp.zeros((B, K, 8), jnp.int32)
     z = jnp.zeros(B, jnp.int32)
-    carry0 = Carry(
-        i=z,
-        mode=jnp.full(B, M_EVAL, jnp.int32),
-        c_start=z,
-        c_end=z,
-        c_len=z,
-        c_amb=z,
-        st_start=jnp.zeros((B, max_socs), jnp.int32),
-        st_end=jnp.zeros((B, max_socs), jnp.int32),
-        st_len=jnp.zeros((B, max_socs), jnp.int32),
-        st_amb=jnp.zeros((B, max_socs), jnp.int32),
-        sp=z,
-        over=jnp.zeros(B, bool),
-        iters=jnp.int32(0),
-    )
-    iter_cap = 6 * S + 32
 
-    def cond(c: Carry):
-        return jnp.any(c.i < n) & (c.iters < iter_cap)
+    def outer_cond(c):
+        i, st, sp, over = c
+        return i < n_max
 
-    def body(c: Carry) -> Carry:
-        active = c.i < n
-        at_eval = active & (c.mode == M_EVAL)
-        at_vac = active & (c.mode == M_VAC)
-
-        # EVAL: form candidate (score over [i, win_end[i]))
-        we = sel_s(win_end, jnp.clip(c.i, 0, S - 1))
-        sl, sa = range_score(c.i, we)
-        good = at_eval & (sl >= min_score) & (sl > 0)
+    def outer_body(c):
+        i, st, sp, over = c
+        col = jax.lax.dynamic_slice_in_dim(cand_all, i, 1, axis=0)[0]  # [B, 7]
+        sl, sa, we = col[:, 0], col[:, 1], col[:, 2]
+        pexs, aexs, pend, aend = col[:, 3], col[:, 4], col[:, 5], col[:, 6]
         # candidates below min score are skipped (stripOfConsideration.cpp:137-141)
-        i_next = jnp.where(at_eval & ~good, c.i + 1, c.i)
-        mode = jnp.where(good, M_VAC, c.mode)
-        c_start = jnp.where(good, c.i, c.c_start)
-        c_end = jnp.where(good, we, c.c_end)
-        c_len = jnp.where(good, sl, c.c_len)
-        c_amb = jnp.where(good, sa, c.c_amb)
+        active = (i < n) & (sl >= min_score) & (sl > 0)
 
-        # VACUUM: one iteration of push_back_no_overlap's while loop
-        sp1 = jnp.maximum(c.sp - 1, 0)
-        K_range = jnp.arange(max_socs)[None, :]
-        sel_k = lambda st: jnp.where(K_range == sp1[:, None], st, 0).sum(axis=1)
-        back_end = sel_k(c.st_end)
-        back_start = sel_k(c.st_start)
-        back_len = sel_k(c.st_len)
-        back_amb = sel_k(c.st_amb)
-        overlap = at_vac & (c.sp > 0) & (back_end > c.c_start)
-        back_lower = _order_less(back_len, back_amb, c.c_len, c.c_amb)
+        # inner state: (stack, sp, over, cand start/len/amb/pexs/aexs, done, it)
+        def inner_cond(s):
+            return jnp.any(~s[9]) & (s[10] < K + 2)
 
-        # case A: back SoC is lower -> shrink back to [back_start, c_start)
-        case_a = overlap & back_lower
-        a_len, a_amb = range_score(back_start, c.c_start)
-        drop_back = case_a & ((a_len < min_score) | (a_len == 0))
-        at_sp1 = (K_range == sp1[:, None]) & case_a[:, None]
-        st_end = jnp.where(at_sp1, c.c_start[:, None], c.st_end)
-        st_len = jnp.where(at_sp1, a_len[:, None], c.st_len)
-        st_amb = jnp.where(at_sp1, a_amb[:, None], c.st_amb)
-        sp = c.sp - drop_back.astype(jnp.int32)
+        def inner_body(s):
+            st, sp, over, c_start, c_len, c_amb, c_pexs, c_aexs, i_b, done, it = s
+            sp1 = jnp.maximum(sp - 1, 0)
+            at_top = Krange == sp1[:, None]
+            top = jnp.where(at_top[:, :, None], st, 0).sum(axis=1)  # [B, 8]
+            top_start, top_end = top[:, 0], top[:, 1]
+            top_len, top_amb = top[:, 2], top[:, 3]
+            top_pexs, top_pend = top[:, 4], top[:, 5]
+            top_aexs, top_aend = top[:, 6], top[:, 7]
 
-        # case B: candidate is lower -> shrink candidate to [back_end, c_end)
-        case_b = overlap & ~back_lower
-        b_len, b_amb = range_score(back_end, c.c_end)
-        drop_cand = case_b & ((b_len < min_score) | (b_len == 0))
-        c_start = jnp.where(case_b, back_end, c_start)
-        c_len = jnp.where(case_b, b_len, c_len)
-        c_amb = jnp.where(case_b, b_amb, c_amb)
+            act = ~done
+            overlap = act & (sp > 0) & (top_end > c_start)
+            back_lower = _order_less(top_len, top_amb, c_len, c_amb)
 
-        # no overlap (anymore) -> push candidate
-        do_push = at_vac & ~overlap
-        can_push = do_push & (sp < max_socs)
-        slot = jnp.minimum(sp, max_socs - 1)
-        at_slot = (K_range == slot[:, None]) & can_push[:, None]
-        pv = lambda st, v: jnp.where(at_slot, v[:, None], st)
-        st_start = pv(c.st_start, c_start)
-        st_end = pv(st_end, c_end)
-        st_len = pv(st_len, c_len)
-        st_amb = pv(st_amb, c_amb)
-        sp = sp + can_push.astype(jnp.int32)
-        over = c.over | (do_push & ~can_push)
+            # case A: back strip is lower -> shrink back to [back_start, c_start)
+            case_a = overlap & back_lower
+            a_len = c_pexs - top_pexs
+            a_amb = c_aexs - top_aexs
+            drop_back = case_a & ((a_len < min_score) | (a_len <= 0))
+            shrink_back = case_a & ~drop_back
 
-        finished_vac = do_push | drop_cand
-        i_next = jnp.where(finished_vac, c.i + 1, i_next)
-        mode = jnp.where(finished_vac, M_EVAL, mode)
+            # case B: candidate is lower -> shrink candidate to [back_end, c_end)
+            case_b = overlap & ~back_lower
+            b_len = pend - top_pend
+            b_amb = aend - top_aend
+            drop_cand = case_b & ((b_len < min_score) | (b_len <= 0))
+            keep_b = case_b & ~drop_cand
 
-        return Carry(
-            i=i_next, mode=mode, c_start=c_start, c_end=c_end, c_len=c_len, c_amb=c_amb,
-            st_start=st_start, st_end=st_end, st_len=st_len, st_amb=st_amb,
-            sp=sp, over=over, iters=c.iters + 1,
-        )
+            # shrink the top in place (its start/pexs/aexs are unchanged)
+            top_new = jnp.stack(
+                [top_start, c_start, a_len, a_amb, top_pexs, c_pexs, top_aexs, c_aexs],
+                axis=-1,
+            )
+            st = jnp.where(
+                (at_top & shrink_back[:, None])[:, :, None], top_new[:, None, :], st
+            )
 
-    fin = jax.lax.while_loop(cond, body, carry0)
-    n_socs = fin.sp
+            # push the candidate: after case A's shrink or case B's advance the
+            # overlap is resolved (reference re-checks and exits the while)
+            p_start = jnp.where(keep_b, top_end, c_start)
+            p_len = jnp.where(keep_b, b_len, c_len)
+            p_amb = jnp.where(keep_b, b_amb, c_amb)
+            p_pexs = jnp.where(keep_b, top_pend, c_pexs)
+            p_aexs = jnp.where(keep_b, top_aend, c_aexs)
+            push_l = act & (~overlap | shrink_back | keep_b)
+            can_push = push_l & (sp < K)
+            cand_new = jnp.stack(
+                [p_start, we, p_len, p_amb, p_pexs, pend, p_aexs, aend], axis=-1
+            )
+            at_slot = Krange == jnp.minimum(sp, K - 1)[:, None]
+            st = jnp.where(
+                (at_slot & can_push[:, None])[:, :, None], cand_new[:, None, :], st
+            )
+            sp = sp + can_push.astype(jnp.int32) - drop_back.astype(jnp.int32)
+            over = over | (push_l & ~can_push)
+            done = done | (act & ~drop_back)
+            return (st, sp, over, p_start, p_len, p_amb, p_pexs, p_aexs, i_b,
+                    done, it + 1)
+
+        ib = jnp.full(B, 0, jnp.int32) + i
+        s0 = (st, sp, over, ib, sl, sa, pexs, aexs, ib, ~active, jnp.int32(0))
+        st, sp, over = jax.lax.while_loop(inner_cond, inner_body, s0)[:3]
+        return (i + 1, st, sp, over)
+
+    _, st_f, sp_f, over_f = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), st0, z, jnp.zeros(B, bool))
+    )
+    n_socs = sp_f
     soc_valid = jnp.arange(max_socs)[None, :] < n_socs[:, None]
-    soc_start, soc_end = fin.st_start, fin.st_end
-    soc_len, soc_amb = fin.st_len, fin.st_amb
-    overflow = seeds.overflow | fin.over | (fin.i < n)
+    soc_start, soc_end = st_f[:, :, 0], st_f[:, :, 1]
+    soc_len, soc_amb = st_f[:, :, 2], st_f[:, :, 3]
+    overflow = seeds.overflow | over_f
 
     # ---- 6. rectangular re-collection (soc.h rectangularSoC:200-233)
     if rectangular:

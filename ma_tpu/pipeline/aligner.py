@@ -621,6 +621,7 @@ class Aligner:
             soft_clip=bool(pset.get("Soft clip")),
             use_m_cigar=bool(pset.get("Use M in CIGAR")),
             ngmlr_tags=bool(pset.get("Emulate NGMLR's tag output")),
+            cg_tag=bool(pset.get("Output long cigars in CG tag")),
         )
         n = 0
         buckets: dict = {}
