@@ -48,30 +48,49 @@ def fm_text_from_pack(pack: Pack, seed: int = 42) -> np.ndarray:
     return np.concatenate([fwd, revcomp_codes(fwd)])
 
 
+_CHUNK_BLOCKS = 1 << 19  # 64 Mbases per chunk keeps temporaries ~O(chunk)
+
+
 def pack_bwt_words(bwt: np.ndarray) -> np.ndarray:
     """uint8 codes [m] -> uint32 crumb words [nb, WORDS_PER_BLOCK].
 
     Crumb j of word w holds base index w*16+j (LSB-first within the word).
+    Chunked so temporaries stay small at GRCh38 scale (the naive version
+    allocates ~16 bytes/char).
     """
     m = bwt.shape[0]
     nb = -(-m // OCC_INTERVAL)
-    padded = np.zeros(nb * OCC_INTERVAL, dtype=np.uint32)
-    padded[:m] = bwt
-    crumbs = padded.reshape(nb, WORDS_PER_BLOCK, 16)
+    out = np.empty((nb, WORDS_PER_BLOCK), dtype=np.uint32)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
-    return (crumbs << shifts).sum(axis=2, dtype=np.uint32)
+    for b0 in range(0, nb, _CHUNK_BLOCKS):
+        b1 = min(b0 + _CHUNK_BLOCKS, nb)
+        lo, hi = b0 * OCC_INTERVAL, min(b1 * OCC_INTERVAL, m)
+        padded = np.zeros((b1 - b0) * OCC_INTERVAL, dtype=np.uint32)
+        padded[: hi - lo] = bwt[lo:hi]
+        crumbs = padded.reshape(b1 - b0, WORDS_PER_BLOCK, 16)
+        out[b0:b1] = (crumbs << shifts).sum(axis=2, dtype=np.uint32)
+    return out
 
 
 def occ_checkpoints(bwt: np.ndarray) -> np.ndarray:
-    """int64 [nb, 4]: counts of each base in bwt[0 : b*OCC_INTERVAL)."""
+    """int64 [nb, 4]: counts of each base in bwt[0 : b*OCC_INTERVAL).
+
+    Chunked per-block bincount instead of a full one-hot cumsum (which is
+    32 bytes/char — prohibitive past ~100 Mbp)."""
     m = bwt.shape[0]
     nb = -(-m // OCC_INTERVAL)
+    per_block = np.zeros((nb, 4), dtype=np.int64)
+    for b0 in range(0, nb, _CHUNK_BLOCKS):
+        b1 = min(b0 + _CHUNK_BLOCKS, nb)
+        lo, hi = b0 * OCC_INTERVAL, min(b1 * OCC_INTERVAL, m)
+        chunk = bwt[lo:hi]
+        blk = (np.arange(hi - lo) // OCC_INTERVAL).astype(np.int64)
+        flat = np.bincount(
+            blk * 4 + chunk, minlength=(b1 - b0) * 4
+        ).reshape(b1 - b0, 4)
+        per_block[b0:b1] = flat
     counts = np.zeros((nb, 4), dtype=np.int64)
-    onehot = np.zeros((m, 4), dtype=np.int64)
-    onehot[np.arange(m), bwt] = 1
-    csum = np.cumsum(onehot, axis=0)
-    block_ends = (np.arange(1, nb) * OCC_INTERVAL) - 1
-    counts[1:] = csum[block_ends]
+    np.cumsum(per_block[:-1], axis=0, out=counts[1:])
     return counts
 
 

@@ -48,6 +48,16 @@ class HarmBatch(NamedTuple):
     soc_of: jax.Array  # int32 [B, G] — originating SoC rank
 
 
+def _sel_minor(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """arr[..., idx[..., k]] without a minor-axis gather: take_along_axis on
+    the last axis of a >2-D array lowers to a ~60 ms gather on TPU
+    (profiling/profile_sweep_bisect.py); a one-hot mask + reduce is pure
+    vector work. arr [..., P], idx [..., K] -> [..., K]."""
+    P = arr.shape[-1]
+    mask = jnp.arange(P) == idx[..., None]
+    return jnp.where(mask, arr[..., None, :], 0).sum(axis=-1).astype(arr.dtype)
+
+
 def _masked_median(vals: jax.Array, mask: jax.Array) -> jax.Array:
     """Median per C++ Median (test_ransac.h:25-39): sorted middle element,
     averaging the two middles for even counts. vals [..., P]."""
@@ -56,8 +66,8 @@ def _masked_median(vals: jax.Array, mask: jax.Array) -> jax.Array:
     cnt = mask.sum(axis=-1)
     hi_i = jnp.maximum(cnt // 2, 0)
     lo_i = jnp.maximum((cnt - 1) // 2, 0)
-    take = lambda i: jnp.take_along_axis(s, i[..., None], axis=-1)[..., 0]
-    med = (take(lo_i) + take(hi_i)) * 0.5
+    sel = _sel_minor(s, jnp.stack([lo_i, hi_i], axis=-1))
+    med = (sel[..., 0] + sel[..., 1]) * 0.5
     return jnp.where(cnt > 0, med, 0.0)
 
 
@@ -91,13 +101,12 @@ def _fit_guide_line(q, l, r, valid, n_cand: int = 8):
     # candidate midpoints: n_cand evenly spread valid seeds
     cnt = valid.sum(axis=-1)
     order = jnp.argsort(~valid, axis=-1, stable=True)  # valid first
-    take = lambda a, i: jnp.take_along_axis(a, i, axis=-1)
     j = jnp.arange(n_cand)
     denom = jnp.clip(jnp.minimum(cnt, n_cand), 1, n_cand)
     sel = (j[None, :] * jnp.maximum(cnt, 1)[..., None]) // denom[..., None]
-    sel_idx = take(order, jnp.minimum(sel, M - 1))
-    cx = take(fr + fl / 2.0, sel_idx)
-    cy = take(fq + fl / 2.0, sel_idx)
+    sel_idx = _sel_minor(order, jnp.minimum(sel, M - 1))
+    cx = _sel_minor(fr + fl / 2.0, sel_idx)
+    cy = _sel_minor(fq + fl / 2.0, sel_idx)
     cvalid = j[None, :] < jnp.minimum(cnt, n_cand)[..., None]
 
     pairs = [(a, b) for a in range(n_cand) for b in range(a + 1, n_cand)]
@@ -125,8 +134,10 @@ def _fit_guide_line(q, l, r, valid, n_cand: int = 8):
     inl = pmask[..., None, :] & (dist <= mad[..., None, None])
     n_inl = jnp.where(cand_ok, inl.sum(axis=-1), -1)
     best = jnp.argmax(n_inl, axis=-1)  # first max wins
-    has_cand = jnp.take_along_axis(n_inl, best[..., None], axis=-1)[..., 0] > 0
-    binl = jnp.take_along_axis(inl, best[..., None, None], axis=-2)[..., 0, :] & pmask
+    has_cand = jnp.max(n_inl, axis=-1) > 0
+    # row `best` of inl, one-hot over the candidate axis (no gather)
+    best_oh = jnp.arange(n_inl.shape[-1]) == best[..., None]
+    binl = (best_oh[..., None] & inl).any(axis=-2) & pmask
 
     # least squares over inliers (lin_regres.h:54-136)
     w = binl.astype(jnp.float32)
@@ -140,32 +151,76 @@ def _fit_guide_line(q, l, r, valid, n_cand: int = 8):
     ok = has_cand & (jnp.abs(slope) > 1e-6)
     angle = jnp.where(ok, jnp.arctan(slope), jnp.float32(0.785398))
     # fallback: 45 deg through the median seed (harmonization.cpp #else branch)
-    med_i = take(order, jnp.maximum(cnt // 2, 0)[..., None])[..., 0]
+    med_i = _sel_minor(order, jnp.maximum(cnt // 2, 0)[..., None])[..., 0]
     med_rs = (
-        jnp.take_along_axis(fr, med_i[..., None], axis=-1)
-        - jnp.take_along_axis(fq, med_i[..., None], axis=-1)
+        _sel_minor(fr, med_i[..., None]) - _sel_minor(fq, med_i[..., None])
     )[..., 0]
     rstart = jnp.where(ok, -intercept / jnp.where(jnp.abs(slope) > 1e-6, slope, 1.0), med_rs)
     return angle, rstart, mad
+
+
+def _use_sweep_pallas() -> bool:
+    """Pallas sweep on accelerators; XLA scan on CPU (and under tests)."""
+    import os
+
+    mode = os.environ.get("MA_TPU_SWEEP", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.devices()[0].platform not in ("cpu",)
 
 
 def _linesweep(starts, ends, dists, seed_idx, valid):
     """One shadow line sweep (harmonization.cpp linesweep:182-249).
 
     All arrays [..., M]; returns a survivor mask over the ORIGINAL seed
-    indices. Elements processed in (start asc, end desc) order.
+    indices. Elements processed in (start asc, end desc) order. seed_idx
+    must be the identity (arange) over the last axis — both callers pass
+    that; the Pallas fast path relies on it.
     """
     M = starts.shape[-1]
     lead = starts.shape[:-1]
-    # sort: invalid last, then start asc, end desc
-    key_start = jnp.where(valid, starts, jnp.int32(2**30))
-    ordr = jnp.lexsort((-ends, key_start), axis=-1)
-    take = lambda a: jnp.take_along_axis(a, ordr, axis=-1)
+    R = 1
+    for d in lead:
+        R *= int(d)
+    # ONE stable variadic sort carries every payload through the sorting
+    # network: minor-axis take_along_axis gathers on >2-D arrays lower to
+    # ~60 ms EACH on TPU (profile_sweep_bisect.py), so sort keys + payloads
+    # together on a 2-D reshape instead. Order: invalid last, start asc,
+    # end desc.
+    key_start = jnp.where(valid, starts, jnp.int32(2**30)).reshape(R, M)
+    orig = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (R, M))
+    _, _, s_end2, s_dist2, s_valid2, s_orig2 = jax.lax.sort(
+        (
+            key_start,
+            (-ends).reshape(R, M),
+            ends.reshape(R, M),
+            dists.reshape(R, M),
+            valid.reshape(R, M).astype(jnp.int32),
+            orig,
+        ),
+        num_keys=2,
+        is_stable=True,
+    )
+
+    if _use_sweep_pallas():
+        from ma_tpu.ops.harmonize_pallas import linesweep_sorted_pallas
+
+        # the kernel reports survivors at ORIGINAL positions directly
+        return linesweep_sorted_pallas(
+            s_end2, s_dist2, s_valid2, s_orig2
+        ).reshape(*lead, M)
     # the barrier stops XLA from rematerializing the (sorted) producer
     # chain inside every scan iteration — a fusion pathology that made the
     # 64-step sweep ~40x slower when fed from fused upstream compute
     s_end, s_dist, s_seed, s_valid = jax.lax.optimization_barrier(
-        (take(ends), take(dists), take(seed_idx), take(valid))
+        (
+            s_end2.reshape(*lead, M),
+            s_dist2.reshape(*lead, M),
+            s_orig2.reshape(*lead, M),
+            s_valid2.reshape(*lead, M).astype(bool),
+        )
     )
 
     st_end0 = jnp.full(lead + (M,), 2**30, jnp.int32)  # +inf so searchsorted works
@@ -243,7 +298,7 @@ def harmonize_sets(q, l, r, valid, n_cand: int = 8):
     n_out = out.sum(axis=-1)
     k_cnt = kept.sum(axis=-1)
     order = jnp.argsort(~kept, axis=-1, stable=True)
-    center = jnp.take_along_axis(order, jnp.maximum(k_cnt // 2, 0)[..., None], axis=-1)[..., 0]
+    center = _sel_minor(order, jnp.maximum(k_cnt // 2, 0)[..., None])[..., 0]
     fb = jax.nn.one_hot(center, M, dtype=bool) & (k_cnt > 0)[..., None]
     out = jnp.where((n_out <= 1)[..., None], fb, out)
     # single input seed passes through; empty input stays empty
@@ -258,10 +313,29 @@ def artifact_filter(q, l, r, valid, max_delta_dist=0.1, min_delta_dist=16):
     (here: valid=False). Returns new valid mask.
     """
     M = q.shape[-1]
+    lead = q.shape[:-1]
+    R = 1
+    for d in lead:
+        R *= int(d)
+    # variadic sort instead of lexsort+takes (see _linesweep comment).
+    # key_r stands in for r below: they agree on valid elements, and invalid
+    # ones sort last and are never read (active requires 1 <= i < n-1).
     key_r = jnp.where(valid, r, jnp.int32(2**30))
-    ordr = jnp.lexsort((q, key_r), axis=-1)
-    take = lambda a: jnp.take_along_axis(a, ordr, axis=-1)
-    sq, sr, sv = take(q), take(r), take(valid)
+    orig = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (R, M))
+    key_r2, sq2, sv2, sord2 = jax.lax.sort(
+        (
+            key_r.reshape(R, M),
+            q.reshape(R, M),
+            valid.reshape(R, M).astype(jnp.int32),
+            orig,
+        ),
+        num_keys=2,
+        is_stable=True,
+    )
+    sr = key_r2.reshape(*lead, M)
+    sq = sq2.reshape(*lead, M)
+    sv = sv2.reshape(*lead, M).astype(bool)
+    ordr = sord2.reshape(*lead, M)
     delta = sr - sq  # int32; |delta| < 2L
     n = sv.sum(axis=-1)
 
@@ -350,15 +424,17 @@ def harmonization(
     M = seeds_per_soc
     sd = soc.seeds
 
-    # ---- gather SoC windows to [B, K, M]
-    barr = jnp.arange(B)[:, None, None]
+    # ---- gather SoC windows to [B, K, M] (flat 1-D gather: the 2-D batched
+    # gather form lowers much worse on TPU)
+    S_seeds = sd.q_start.shape[1]
     offs = jnp.arange(M)[None, None, :]
     idx = soc.start[:, :K, None] + offs
     in_win = (idx < soc.end[:, :K, None]) & (
         jnp.arange(K)[None, :, None] < soc.n_socs[:, None, None]
     )
-    idx_c = jnp.clip(idx, 0, sd.q_start.shape[1] - 1)
-    g = lambda a: jnp.where(in_win, a[barr, idx_c], 0)
+    idx_c = jnp.clip(idx, 0, S_seeds - 1)
+    flat_idx = (jnp.arange(B)[:, None, None] * S_seeds + idx_c).reshape(-1)
+    g = lambda a: jnp.where(in_win, a.reshape(-1)[flat_idx].reshape(B, K, M), 0)
     q = g(sd.q_start)
     l = g(sd.length)
     ref = g(sd.ref_start)

@@ -7,8 +7,10 @@ host reads its own FASTQ shard) and per-host results written to sharded
 SAM files — no central data plane. Index arrays are replicated per host
 (or hash-range sharded across the global mesh, see sharded_index.py).
 
-This module cannot be exercised in a single-host environment; the sharding
-semantics it relies on are covered by the 8-virtual-device tests.
+Exercised end-to-end by tests/test_multihost.py: two local processes over
+`jax.distributed` (CPU backend, localhost coordinator) initialize, run a
+cross-process psum over the global mesh, align disjoint FASTQ shards, and
+the shards merge back into one SAM (scripts/multihost_worker.py).
 """
 from __future__ import annotations
 
@@ -30,13 +32,16 @@ def init_multihost(
 ) -> None:
     """jax.distributed.initialize with env-var fallbacks
     (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID)."""
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])  # NB: 0 is a valid id
     jax.distributed.initialize(
-        coordinator_address=coordinator_address
-        or os.environ.get("COORDINATOR_ADDRESS"),
-        num_processes=num_processes
-        or (int(os.environ["NUM_PROCESSES"]) if "NUM_PROCESSES" in os.environ else None),
-        process_id=process_id
-        or (int(os.environ["PROCESS_ID"]) if "PROCESS_ID" in os.environ else None),
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 
@@ -59,3 +64,22 @@ def output_path_for_process(base: str) -> str:
         return base
     root, ext = os.path.splitext(base)
     return f"{root}.part{jax.process_index():04d}{ext}"
+
+
+def merge_sam_shards(shard_paths: Sequence[str], out_path: str) -> int:
+    """Concatenate per-process SAM shards into one file: the header is taken
+    from the first shard (all shards were written against the same Pack, so
+    headers are identical); records append in shard order. Returns the
+    number of alignment records written."""
+    n = 0
+    with open(out_path, "w") as out:
+        for i, p in enumerate(sorted(shard_paths)):
+            with open(p) as f:
+                for line in f:
+                    if line.startswith("@"):
+                        if i == 0:
+                            out.write(line)
+                        continue
+                    out.write(line)
+                    n += 1
+    return n

@@ -8,6 +8,8 @@ from ma_tpu.cli import main
 from ma_tpu.containers.nucseq import decode_seq
 from ma_tpu.containers.pack import Pack
 
+pytestmark = pytest.mark.slow  # full device-stage compile
+
 
 @pytest.fixture(scope="module")
 def genome_fasta(tmp_path_factory):

@@ -1,4 +1,5 @@
 """Interactive SV viewer + execution-context manager tests."""
+import pytest
 import json
 import os
 import re
@@ -8,6 +9,8 @@ import numpy as np
 from ma_tpu.msv.calls import SvCall
 from ma_tpu.msv.jumps import SvJump
 from ma_tpu.msv.html_view import render_interactive_html
+
+pytestmark = pytest.mark.slow  # full device-stage compile
 
 
 def test_viewer_embeds_data_and_stats(tmp_path):

@@ -9,6 +9,8 @@ from ma_tpu.index.fmd_index import FMDIndex
 from ma_tpu.pipeline.aligner import Aligner
 from ma_tpu.pipeline.inversions import for_all_drop_pos
 
+pytestmark = pytest.mark.slow  # full device-stage compile
+
 
 def test_for_all_drop_pos_reports_window():
     a = Alignment(begin_on_ref=1000, begin_on_query=0)

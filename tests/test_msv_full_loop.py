@@ -11,6 +11,8 @@ from ma_tpu.msv.calls import SvCall
 from ma_tpu.msv.pipeline import compute_sv_jumps, sweep_sv_jumps
 from ma_tpu.msv.reconstruct import reconstruct_sequenced_genome
 
+pytestmark = pytest.mark.slow  # full device-stage compile
+
 
 def test_jump_computation_full_loop():
     rng = np.random.default_rng(2024)

@@ -11,6 +11,8 @@ from ma_tpu.index.fmd_index import FMDIndex
 from ma_tpu.pipeline.aligner import Aligner
 from ma_tpu.pipeline.paired import PairedAligner, pick_paired
 
+pytestmark = pytest.mark.slow  # full device-stage compile
+
 
 @pytest.fixture(scope="module")
 def setup():

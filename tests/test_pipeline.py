@@ -11,6 +11,8 @@ from ma_tpu.containers.pack import Pack
 from ma_tpu.index.fmd_index import FMDIndex
 from ma_tpu.pipeline.aligner import Aligner
 
+pytestmark = pytest.mark.slow  # full device-stage compile
+
 
 @pytest.fixture(scope="module")
 def small_genome():

@@ -17,6 +17,8 @@ from ma_tpu.io.sam_reader import (
 )
 from ma_tpu.pipeline.aligner import Aligner
 
+pytestmark = pytest.mark.slow  # full device-stage compile
+
 
 def test_roundtrip_our_sam_to_seeds():
     rng = np.random.default_rng(61)

@@ -10,6 +10,8 @@ from ma_tpu.index.fmd_index import FMDIndex
 from ma_tpu.ops.occ import FMDDev
 from ma_tpu.ops.seeding import smem_seeding
 
+pytestmark = pytest.mark.slow  # full device-stage compile
+
 
 class HostFMD:
     """Host-side bidirectional search over FMDIndex (exact)."""
