@@ -261,28 +261,42 @@ def minimizer_seeding(
     occ = jnp.where(sel, hi - lo, 0)
     occ = jnp.where(occ > max_occ, 0, occ)  # hard occurrence cutoff
 
-    # slot allocation: seed m of k-mer position i -> output row
+    # slot allocation: seed m of k-mer position i -> output row. A row-wise
+    # searchsorted + per-slot gathers cost ~300 ms at this shape; both cum
+    # and the slot iota are sorted, so ONE merge_rank delivers the owning
+    # k-mer position of every slot plus all per-position values it needs
+    # (ops/sortops.py; next-element values via a shifted carry).
+    from ma_tpu.ops.sortops import merge_rank
+
     cum = jnp.cumsum(occ, axis=1)
     total = cum[:, -1]
     overflow = total > max_seeds
     kk = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
-    pos_of = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="right"))(
-        cum, jnp.broadcast_to(kk, (B, max_seeds))
+    kk_b = jnp.broadcast_to(kk, (B, max_seeds))
+
+    shift1 = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    strand_lane = jnp.asarray(strand_q, jnp.int32)
+    rank, (cum_ex_at,), (lo_at, occ_at, strand_at) = merge_rank(
+        cum, kk_b,
+        carries=[cum],
+        carries_any=[shift1(lo), shift1(occ), shift1(strand_lane)],
     )
-    pos_of = jnp.minimum(pos_of, L - 1).astype(jnp.int32)
-    cum_ex = cum - occ
-    barr = jnp.arange(B)[:, None]
-    j = kk - cum_ex[barr, pos_of]
-    valid = (kk < total[:, None]) & (j >= 0) & (j < occ[barr, pos_of])
+    # rank-1 of a shifted carry is the value AT rank; rank==0 reads column 0
+    first = rank == 0
+    lo_at = jnp.where(first, lo[:, :1], lo_at)
+    occ_at = jnp.where(first, occ[:, :1], occ_at)
+    qstrand = jnp.where(first, strand_lane[:, :1], strand_at)
+    pos_of = jnp.minimum(rank, L - 1).astype(jnp.int32)
+    j = kk - cum_ex_at
+    valid = kk < total[:, None]
 
     n_idx = idx.pos.shape[0]
-    rows = jnp.clip(lo[barr, pos_of] + j, 0, max(n_idx - 1, 0))
+    rows = jnp.clip(lo_at + j, 0, max(n_idx - 1, 0))
     if n_idx == 0:
         valid = valid & False
         rows = jnp.zeros_like(rows)
     rpos = idx.pos[rows]  # global last-base position
     rstrand = idx.strand[rows]
-    qstrand = strand_q[barr, pos_of]
     same = rstrand == qstrand  # forward-strand match
 
     # Our SeedBatch convention keeps PLAIN read coordinates on both strands
@@ -305,7 +319,7 @@ def minimizer_seeding(
         length=jnp.where(valid, length, zero),
         ref_start=jnp.where(valid, ref_start, zero),
         on_forward=same & valid,
-        ambiguity=jnp.where(valid, occ[barr, pos_of], zero),
+        ambiguity=jnp.where(valid, occ_at, zero),
         delta=jnp.where(valid, delta, jnp.int32(2**31 - 1)),
         soc_nt=zero,
         valid=valid,

@@ -382,6 +382,7 @@ def _dp_tb_packed(buf, meta_in, M, N, params, zdrop, is_global):
     return ops, meta_out
 
 
+
 def banded_align_traceback_packed(
     qa: np.ndarray, ta: np.ndarray, qlen, tlen, band,
     params: DPParams = DPParams(), zdrop: int = -1, is_global: bool = True,
@@ -415,8 +416,7 @@ def banded_align_traceback_packed(
     return ops, meta
 
 
-@functools.partial(jax.jit, static_argnames=("M", "N", "params", "zdrop", "is_global"))
-def _dp_tb_desc(text, seqs, desc, M, N, params, zdrop, is_global):
+def _dp_tb_desc_core(text, seqs, desc, M, N, params, zdrop, is_global):
     """banded_align_traceback with DEVICE-RESIDENT operands.
 
     The tunnel moves ~20-30 MB/s, so shipping per-problem query/ref windows
@@ -458,6 +458,9 @@ def _dp_tb_desc(text, seqs, desc, M, N, params, zdrop, is_global):
     return ops, meta_out
 
 
+_dp_tb_desc = functools.partial(jax.jit, static_argnames=("M", "N", "params", "zdrop", "is_global"))(_dp_tb_desc_core)
+
+
 def banded_align_traceback_desc(
     text_dev, seqs_dev, desc: np.ndarray, M: int, N: int,
     params: DPParams = DPParams(), zdrop: int = -1, is_global: bool = True,
@@ -473,6 +476,85 @@ def banded_align_traceback_desc(
     S128 = min(ops_d.shape[1], max(128, ((smax + 127) // 128) * 128))
     ops = np.asarray(ops_d[:, :S128])
     return ops, meta
+
+
+MAX_RUNS = 32  # device-side run cap; rows with more runs fall back to ops
+
+
+def _pack_runs_core(ops, n_ops):
+    """Run-length boundaries of each traceback row, on device.
+
+    ops [P, S] uint8 rows in back-to-front order, n_ops [P]. Returns
+    (run_op [P, R] uint8, run_start [P, R] int32, n_runs [P]) with runs in
+    the STORED (reversed) order — a row's full CIGAR usually compresses to
+    a handful of runs, so downloading boundaries instead of the [P, S]
+    byte matrix shrinks the d2h traffic ~S/R (the tunnel moves ~30 MB/s).
+    """
+    P, S = ops.shape
+    jj = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = jj < n_ops[:, None]
+    prev = jnp.concatenate([jnp.full((P, 1), 255, ops.dtype), ops[:, :-1]], axis=1)
+    ch = valid & ((ops != prev) | (jj == 0))
+    rid = jnp.cumsum(ch.astype(jnp.int32), axis=1) - 1
+    n_runs = jnp.where(n_ops > 0, rid[:, -1] + 1, 0)
+    flat = (
+        jnp.arange(P, dtype=jnp.int32)[:, None] * MAX_RUNS
+        + jnp.where(ch & (rid < MAX_RUNS), rid, P * MAX_RUNS)
+    ).reshape(-1)
+    run_start = (
+        jnp.zeros(P * MAX_RUNS, jnp.int32)
+        .at[flat].set(jnp.broadcast_to(jj, (P, S)).reshape(-1), mode="drop")
+        .reshape(P, MAX_RUNS)
+    )
+    run_op = (
+        jnp.zeros(P * MAX_RUNS, jnp.uint8)
+        .at[flat].set(ops.reshape(-1), mode="drop")
+        .reshape(P, MAX_RUNS)
+    )
+    return run_op, run_start, n_runs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "N", "params", "zdrop", "is_global")
+)
+def _dp_tb_desc_runs(text, seqs, desc, M, N, params, zdrop, is_global):
+    """_dp_tb_desc plus device-side run packing (see _pack_runs_core)."""
+    ops, meta_out = _dp_tb_desc_core(
+        text, seqs, desc, M, N, params, zdrop, is_global
+    )
+    run_op, run_start, n_runs = _pack_runs_core(ops, meta_out[0])
+    return ops, meta_out, run_op, run_start, n_runs
+
+
+def runs_to_cigars(run_op, run_start, n_ops, n_runs, rem_i, rem_j):
+    """Host: expand downloaded run boundaries to forward-order cigars,
+    exactly matching rle_ops_batch (residual D/I prefix, adjacent-op merge).
+    Rows with n_runs > MAX_RUNS return None (caller falls back to the full
+    ops row)."""
+    P = run_op.shape[0]
+    out = []
+    for p in range(P):
+        nr = int(n_runs[p])
+        if nr > MAX_RUNS:
+            out.append(None)
+            continue
+        cigar: list = []
+        if rem_j[p] >= 0:
+            cigar.append((OP_D, int(rem_j[p]) + 1))
+        if rem_i[p] >= 0:
+            cigar.append((OP_I, int(rem_i[p]) + 1))
+        total = int(n_ops[p])
+        if nr and total:
+            starts = run_start[p]
+            for r in range(nr - 1, -1, -1):  # stored order is back-to-front
+                end = total if r == nr - 1 else int(starts[r + 1])
+                op, ln = int(run_op[p, r]), end - int(starts[r])
+                if cigar and cigar[-1][0] == op:
+                    cigar[-1] = (op, cigar[-1][1] + ln)
+                else:
+                    cigar.append((op, ln))
+        out.append([c for c in cigar if c[1] > 0])
+    return out
 
 
 def rle_ops_batch(ops: np.ndarray, n_ops: np.ndarray, rem_i: np.ndarray,

@@ -57,16 +57,17 @@ def seed_lump(seeds: SeedBatch) -> SeedBatch:
     when the diagonal changes or its query start lies beyond the running
     maximum end; runs reduce to (min start, max end).
     """
+    from ma_tpu.ops.sortops import sort_with_payloads
+
     B, S = seeds.q_start.shape
     ld = _lump_delta(seeds)
     fwd = seeds.on_forward.astype(jnp.int32)
-    # sort: invalid last, fwd first (reference comparator), delta, q_start
+    # sort: invalid last, fwd first (reference comparator), delta, q_start —
+    # one variadic sort instead of lexsort + per-plane takes (see sortops.py)
     key_major = jnp.where(seeds.valid, (1 - fwd), 2)
-    order = jnp.lexsort((seeds.q_start, ld, key_major), axis=-1)
-    g = lambda a: jnp.take_along_axis(a, order, axis=1)
-    sq, sl, sld, sfw, sam, sva = (
-        g(seeds.q_start), g(seeds.length), g(ld),
-        g(seeds.on_forward), g(seeds.ambiguity), g(seeds.valid),
+    (_, sld, sq), (sl, sfw, sam, sva) = sort_with_payloads(
+        [key_major, ld, seeds.q_start],
+        [seeds.length, seeds.on_forward, seeds.ambiguity, seeds.valid],
     )
     send = sq + sl
 
@@ -124,15 +125,13 @@ def seed_lump(seeds: SeedBatch) -> SeedBatch:
 def sort_remove_duplicates(seeds: SeedBatch) -> SeedBatch:
     """Drop exact duplicate (q_start, ref_start, length, strand) seeds
     (SortRemoveDuplicates, seedFilters.h:343)."""
+    from ma_tpu.ops.sortops import sort_with_payloads
+
     B, S = seeds.q_start.shape
     key_major = jnp.where(seeds.valid, seeds.on_forward.astype(jnp.int32), 2)
-    order = jnp.lexsort(
-        (seeds.length, seeds.q_start, seeds.ref_start, key_major), axis=-1
-    )
-    g = lambda a: jnp.take_along_axis(a, order, axis=1)
-    sq, sl, sr, sfw, sam, sva, sd = (
-        g(seeds.q_start), g(seeds.length), g(seeds.ref_start),
-        g(seeds.on_forward), g(seeds.ambiguity), g(seeds.valid), g(seeds.delta),
+    (_, sr, sq, sl), (sfw, sam, sva, sd) = sort_with_payloads(
+        [key_major, seeds.ref_start, seeds.q_start, seeds.length],
+        [seeds.on_forward, seeds.ambiguity, seeds.valid, seeds.delta],
     )
     dup = (
         (sq == jnp.roll(sq, 1, axis=1))

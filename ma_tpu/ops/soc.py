@@ -56,8 +56,35 @@ def _permute_seeds(seeds: SeedBatch, order: jax.Array) -> SeedBatch:
     )
 
 
+def _sort_seeds_by(seeds: SeedBatch, *keys: jax.Array) -> SeedBatch:
+    """Stable sort of the seed planes by the given keys (major first) in
+    ONE variadic sort — argsort + 8 take_along_axis costs ~25 ms per take
+    on TPU (profiling/profile_truth.py), the variadic sort ~1 ms/operand."""
+    from ma_tpu.ops.sortops import sort_with_payloads
+
+    _, (q, l, r, fw, amb, dl, nt, va) = sort_with_payloads(
+        list(keys),
+        [seeds.q_start, seeds.length, seeds.ref_start, seeds.on_forward,
+         seeds.ambiguity, seeds.delta, seeds.soc_nt, seeds.valid],
+    )
+    return SeedBatch(
+        q_start=q, length=l, ref_start=r, on_forward=fw, ambiguity=amb,
+        delta=dl, soc_nt=nt, valid=va,
+        n_seeds=seeds.n_seeds, overflow=seeds.overflow,
+    )
+
+
 def _exclusive(c: jax.Array) -> jax.Array:
     return jnp.concatenate([jnp.zeros_like(c[:, :1]), c[:, :-1]], axis=1)
+
+
+def _contig_of(contig_starts: jax.Array, ref_start: jax.Array) -> jax.Array:
+    """Contig id per ref position; comparison-reduce for small contig
+    tables (a searchsorted is log-C rounds of gathers)."""
+    C = contig_starts.shape[0]
+    if C <= 64:
+        return (ref_start[..., None] >= contig_starts).sum(axis=-1).astype(jnp.int32) - 1
+    return jnp.searchsorted(contig_starts, ref_start, side="right").astype(jnp.int32) - 1
 
 
 def _order_less(len_a, amb_a, len_b, amb_b):
@@ -77,25 +104,25 @@ def soc_collect(
     min_score: jax.Array | int = 0,  # fMinLen (0 for small genomes)
     max_socs: int = 64,
 ) -> SoCBatch:
+    from ma_tpu.ops.sortops import merge_rank, run_ends
+
     B, S = seeds.delta.shape
     # ---- 1. sort by delta (padding has delta INT_MAX -> sorts last)
-    order = jnp.argsort(seeds.delta, axis=1, stable=True)
-    sd = _permute_seeds(seeds, order)
+    sd = _sort_seeds_by(seeds, seeds.delta)
     n = sd.n_seeds
     valid = sd.valid
     min_score = jnp.broadcast_to(jnp.asarray(min_score, jnp.int32), (B,))
 
     # ---- 2. per-seed contig / strand run grouping
-    contig = jnp.searchsorted(contig_starts, sd.ref_start, side="right").astype(jnp.int32) - 1
+    contig = _contig_of(contig_starts, sd.ref_start)
     key = contig
     if not rectangular:
         key = contig * 2 + sd.on_forward.astype(jnp.int32)
     change = jnp.concatenate(
         [jnp.ones((B, 1), bool), key[:, 1:] != key[:, :-1]], axis=1
     )
-    run_id = jnp.cumsum(change.astype(jnp.int32), axis=1)  # 1-based run ids
     # run_end[i] = first index after i with a different run id
-    run_end = jax.vmap(lambda r: jnp.searchsorted(r, r, side="right"))(run_id).astype(jnp.int32)
+    run_end = run_ends(change)
 
     # ---- 3. prefix sums for O(1) range scores
     plen = jnp.cumsum(jnp.where(valid, sd.length, 0), axis=1)
@@ -103,22 +130,25 @@ def soc_collect(
     plen_ex = _exclusive(plen)
     pamb_ex = _exclusive(pamb)
 
-    # ---- 4. window ends per start + full-window scores, all vectorized
+    # ---- 4. window ends per start + full-window scores. Row-wise
+    # searchsorted is 9 rounds of minor-axis gathers (~225 ms at [4096,512]);
+    # both the values and the queries are sorted here, so a sort-merge rank
+    # (ops/sortops.py merge_rank) replaces it outright.
     if fixed_width:
         width = jnp.full((B,), fixed_width, jnp.int32)
     else:
         width = ((match * qlen - gap) // extend).astype(jnp.int32)
-    limit = sd.delta + width[:, None]
-    j_raw = jax.vmap(lambda d, lim: jnp.searchsorted(d, lim, side="right"))(sd.delta, limit)
+    limit = jnp.where(
+        sd.delta >= INT_MAX - width[:, None], INT_MAX, sd.delta + width[:, None]
+    )
+    j_raw, _, _ = merge_rank(sd.delta, limit)
     win_end = jnp.minimum(jnp.minimum(j_raw.astype(jnp.int32), run_end), n[:, None])
 
-    # prefix values at each candidate's window boundaries (one gather, done
-    # once — the sweep below then needs NO dynamic [B, S] lookups at all)
-    b2 = jnp.arange(B)[:, None]
-    ridx = jnp.clip(win_end - 1, 0, S - 1)
-    nonempty = win_end > jnp.arange(S)[None, :]
-    pend_all = jnp.where(nonempty, plen[b2, ridx], plen_ex)  # == plen_ex[win_end]
-    aend_all = jnp.where(nonempty, pamb[b2, ridx], pamb_ex)
+    # prefix values at the window ends: plen_ex[win_end] == forward-filled
+    # plen at the last index <= win_end - 1 (win_end is non-decreasing, so a
+    # second merge delivers all of them without a gather)
+    iota_s = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    _, (pend_all, aend_all), _ = merge_rank(iota_s, win_end - 1, carries=[plen, pamb])
     sl_all = pend_all - plen_ex
     sa_all = aend_all - pamb_ex
 
@@ -233,6 +263,8 @@ def soc_collect(
 
     # ---- 6. rectangular re-collection (soc.h rectangularSoC:200-233)
     if rectangular:
+        from ma_tpu.ops.sortops import searchsorted_rows, sel_minor
+
         idx = jnp.arange(S)[None, None, :]
         in_win = (idx >= soc_start[:, :, None]) & (idx < soc_end[:, :, None])
         refs = sd.ref_start[:, None, :]
@@ -240,15 +272,10 @@ def soc_collect(
         ref_max = jnp.max(jnp.where(in_win, refs, -1), axis=2)
         # re-sort seeds by ref position (invalid last)
         ref_key = jnp.where(sd.valid, sd.ref_start, INT_MAX)
-        order2 = jnp.argsort(ref_key, axis=1, stable=True)
-        sd = _permute_seeds(sd, order2)
+        sd = _sort_seeds_by(sd, ref_key)
         ref_sorted = jnp.where(sd.valid, sd.ref_start, INT_MAX)
-        soc_start = jax.vmap(lambda r, lo: jnp.searchsorted(r, lo, side="left"))(
-            ref_sorted, ref_min
-        ).astype(jnp.int32)
-        soc_end = jax.vmap(lambda r, hi: jnp.searchsorted(r, hi, side="right"))(
-            ref_sorted, ref_max
-        ).astype(jnp.int32)
+        soc_start = searchsorted_rows(ref_sorted, ref_min, side="left")
+        soc_end = searchsorted_rows(ref_sorted, ref_max, side="right")
         soc_end = jnp.minimum(soc_end, n[:, None])
         plen2 = jnp.cumsum(jnp.where(sd.valid, sd.length, 0), axis=1)
         pamb2 = jnp.cumsum(jnp.where(sd.valid, sd.ambiguity, 0), axis=1)
@@ -256,21 +283,29 @@ def soc_collect(
         pamb2_ex = _exclusive(pamb2)
         lidx = jnp.clip(soc_start, 0, S - 1)
         ridx = jnp.clip(soc_end - 1, 0, S - 1)
-        b2 = jnp.arange(B)[:, None]
-        soc_len = jnp.where(soc_end > soc_start, plen2[b2, ridx] - plen2_ex[b2, lidx], 0)
-        soc_amb = jnp.where(soc_end > soc_start, pamb2[b2, ridx] - pamb2_ex[b2, lidx], 0)
+        nonempty = soc_end > soc_start
+        soc_len = jnp.where(
+            nonempty, sel_minor(plen2, ridx) - sel_minor(plen2_ex, lidx), 0
+        )
+        soc_amb = jnp.where(
+            nonempty, sel_minor(pamb2, ridx) - sel_minor(pamb2_ex, lidx), 0
+        )
 
-    # ---- 7. heap order: best score first (len desc, amb asc, index asc)
+    # ---- 7. heap order: best score first (len desc, amb asc, index asc —
+    # index order via sort stability)
+    from ma_tpu.ops.sortops import sort_with_payloads
+
     sort_len = jnp.where(soc_valid, soc_len, -1)
     sort_amb = jnp.where(soc_valid, soc_amb, INT_MAX)
-    rank = jnp.lexsort((jnp.arange(max_socs)[None, :].repeat(B, 0), sort_amb, -sort_len), axis=1)
-    g2 = lambda a: jnp.take_along_axis(a, rank, axis=1)
+    _, (o_start, o_end, o_len, o_amb) = sort_with_payloads(
+        [-sort_len, sort_amb], [soc_start, soc_end, soc_len, soc_amb]
+    )
     return SoCBatch(
         seeds=sd,
-        start=g2(soc_start),
-        end=g2(soc_end),
-        score=g2(soc_len),
-        amb=g2(soc_amb),
+        start=o_start,
+        end=o_end,
+        score=o_len,
+        amb=o_amb,
         n_socs=n_socs,
         overflow=overflow,
     )

@@ -324,18 +324,21 @@ class NWAligner:
         # (P, M, N) program mid-run — far more expensive than padded
         # execution. On CPU (tests) pad to the next power of two instead.
         on_accel = _jax.devices()[0].platform != "cpu"
-        for (M, N, is_global), idxs in all_buckets:
-            P = self._max_p(M, N) if on_accel else _next_pow2(len(idxs), lo=8)
-            from ma_tpu.ops.dp import (
-                banded_align_traceback_desc,
-                banded_align_traceback_packed,
-            )
-            from ma_tpu.utils.profile import stage_timer
+        from ma_tpu.ops.dp import (
+            _dp_tb_desc_runs,
+            banded_align_traceback_packed,
+            runs_to_cigars,
+        )
+        from ma_tpu.utils.profile import stage_timer
 
-            with stage_timer(
-                self.profiler,
-                f"dp {('glob' if is_global else 'ext')} {M}x{N} P{P}",
-            ):
+        # phase 1: dispatch every bucket's device program without waiting —
+        # JAX async dispatch queues them back to back, so the ~25 ms
+        # per-program latency of the tunneled chip is paid once, not per
+        # bucket, and phase 2's downloads overlap later buckets' compute.
+        launched = []
+        with stage_timer(self.profiler, "dp dispatch"):
+            for (M, N, is_global), idxs in all_buckets:
+                P = self._max_p(M, N) if on_accel else _next_pow2(len(idxs), lo=8)
                 if self.desc_mode:
                     desc = np.zeros((8, P), np.int32)
                     desc[2] = 1  # q_len
@@ -347,8 +350,9 @@ class NWAligner:
                             p.read_idx, p.q_off, p.q_len, p.q_rev,
                             p.t_start, p.t_len, p.t_rev, p.band,
                         )
-                    ops, meta = banded_align_traceback_desc(
-                        self.text_dev, self.seqs_dev, desc, M=M, N=N,
+                    out = _dp_tb_desc_runs(
+                        self.text_dev, self.seqs_dev,
+                        jnp.asarray(desc, jnp.int32), M=M, N=N,
                         params=cfg.params,
                         zdrop=-1 if is_global else cfg.zdrop,
                         is_global=is_global,
@@ -364,15 +368,49 @@ class NWAligner:
                         qa[k, : len(p.q)] = p.q
                         ta[k, : len(p.t)] = p.t
                         qlen[k], tlen[k], band[k] = len(p.q), len(p.t), p.band
-                    ops, meta = banded_align_traceback_packed(
+                    out = banded_align_traceback_packed(
                         qa, ta, qlen, tlen, band, params=cfg.params,
                         zdrop=-1 if is_global else cfg.zdrop,
                         is_global=is_global,
                     )
-            n_ops, rem_i, rem_j = meta[0], meta[1], meta[2]
-            max_i, max_j = meta[4], meta[5]
+                launched.append(((M, N, is_global), idxs, out))
+
+        # phase 2: download run boundaries (tiny) instead of the [P, S] ops
+        # matrix; rows with > MAX_RUNS runs (rare) fall back to their row
+        for (M, N, is_global), idxs, out in launched:
             K = len(idxs)
-            cigars = rle_ops_batch(ops[:K], n_ops[:K], rem_i[:K], rem_j[:K])
+            with stage_timer(
+                self.profiler,
+                f"dp collect {('glob' if is_global else 'ext')} {M}x{N}",
+            ):
+                if self.desc_mode:
+                    ops_d, meta_d, run_op_d, run_start_d, n_runs_d = out
+                    meta = np.asarray(meta_d)
+                    run_op = np.asarray(run_op_d[:K])
+                    run_start = np.asarray(run_start_d[:K])
+                    n_runs = np.asarray(n_runs_d[:K])
+                    n_ops, rem_i, rem_j = meta[0], meta[1], meta[2]
+                    cigars = runs_to_cigars(
+                        run_op, run_start, n_ops[:K], n_runs,
+                        rem_i[:K], rem_j[:K],
+                    )
+                    for k, cg in enumerate(cigars):
+                        if cg is None:  # > MAX_RUNS runs: download the row
+                            n = int(n_ops[k])
+                            s128 = max(128, ((n + 127) // 128) * 128)
+                            row = np.asarray(ops_d[k, : min(s128, ops_d.shape[1])])
+                            cigars[k] = rle_ops(
+                                row, n, int(rem_i[k]), int(rem_j[k])
+                            )
+                else:
+                    ops_d, meta_d = out[0], out[1]
+                    meta = np.asarray(meta_d)
+                    n_ops, rem_i, rem_j = meta[0], meta[1], meta[2]
+                    ops = np.asarray(ops_d)
+                    cigars = rle_ops_batch(
+                        ops[:K], n_ops[:K], rem_i[:K], rem_j[:K]
+                    )
+            max_i, max_j = meta[4], meta[5]
             for k, i in enumerate(idxs):
                 p = self._problems[i]
                 if is_global:

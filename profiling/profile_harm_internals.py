@@ -147,16 +147,22 @@ def full_harm(soc, lens):
     )
 
 
+def _force(out):
+    import numpy as _np
+    leaves = jax.tree_util.tree_leaves(out)
+    return _np.asarray(leaves[0].reshape(-1)[:1])
+
+
 def bench(name, fn, *args):
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)  # block_until_ready returns early on axon; force a d2h
     tc = time.perf_counter() - t0
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
         ts.append(time.perf_counter() - t0)
     print(f"{name:24s} compile+1st={tc:7.2f}s steady={min(ts)*1e3:8.1f} ms",
           flush=True)
