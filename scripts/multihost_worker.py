@@ -64,7 +64,7 @@ def main():
     from ma_tpu.containers.pack import Pack
     from ma_tpu.index.fmd_index import FMDIndex
     from ma_tpu.pipeline.aligner import Aligner
-    from ma_tpu.io.fasta import read_fasta
+    from ma_tpu.io.fasta import read_reads
 
     pack = Pack.load(os.path.join(workdir, "g"))
     fmd = FMDIndex.load(os.path.join(workdir, "g"))
@@ -75,7 +75,7 @@ def main():
     aligner = Aligner(pack, fmd)
     aligner.pset.set("Seeding Technique", "minimizers")
     out_path = output_path_for_process(os.path.join(workdir, "out.sam"))
-    reads = [r for p in mine for r in read_fasta(p)]
+    reads = [r for p in mine for r in read_reads(p)]
     with open(out_path, "w") as out:
         n = aligner.align_to_sam(iter(reads), out, batch_size=64)
     print(f"proc {pid}: psum ok ({got}), aligned {n} reads -> {out_path}", flush=True)
