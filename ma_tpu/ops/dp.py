@@ -429,26 +429,7 @@ def _dp_tb_desc_core(text, seqs, desc, M, N, params, zdrop, is_global):
     desc: int32 [8, P]: b, q_off, q_len, q_rev, t_start, t_len, t_rev, band
     Returns (ops [P, S] uint8, meta_out [7, P] int32) like _dp_tb_packed.
     """
-    b, q_off, q_len, q_rev, t_start, t_len, t_rev, band = desc
-    L = seqs.shape[1]
-    T = text.shape[0]
-    mi = jnp.arange(M, dtype=jnp.int32)[None, :]
-    qidx = jnp.where(
-        q_rev[:, None] == 1,
-        q_off[:, None] + q_len[:, None] - 1 - mi,
-        q_off[:, None] + mi,
-    )
-    qflat = (b[:, None] * L + jnp.clip(qidx, 0, L - 1)).reshape(-1)
-    q = seqs.reshape(-1)[qflat].reshape(-1, M)
-    q = jnp.where(mi < q_len[:, None], q, jnp.uint8(4)).astype(jnp.int32)
-    nj = jnp.arange(N, dtype=jnp.int32)[None, :]
-    tidx = jnp.where(
-        t_rev[:, None] == 1,
-        t_start[:, None] + t_len[:, None] - 1 - nj,
-        t_start[:, None] + nj,
-    )
-    t = text[jnp.clip(tidx, 0, T - 1)]
-    t = jnp.where(nj < t_len[:, None], t, jnp.uint8(4)).astype(jnp.int32)
+    q, t, q_len, t_len, band = _desc_operands(text, seqs, desc, M, N)
     ops, n_ops, rem_i, rem_j, score, max_i, max_j, zd = banded_align_traceback(
         q, t, q_len, t_len, band, params=params, zdrop=zdrop, is_global=is_global
     )
@@ -524,6 +505,74 @@ def _dp_tb_desc_runs(text, seqs, desc, M, N, params, zdrop, is_global):
     )
     run_op, run_start, n_runs = _pack_runs_core(ops, meta_out[0])
     return ops, meta_out, run_op, run_start, n_runs
+
+
+def _desc_operands(text, seqs, desc, M, N):
+    """Materialize [P, M] query / [P, N] target code windows from int32
+    descriptors against the device-resident genome text and read batch
+    (shared by the split and fused DP paths; see _dp_tb_desc_core)."""
+    b, q_off, q_len, q_rev, t_start, t_len, t_rev, band = desc
+    L = seqs.shape[1]
+    T = text.shape[0]
+    mi = jnp.arange(M, dtype=jnp.int32)[None, :]
+    qidx = jnp.where(
+        q_rev[:, None] == 1,
+        q_off[:, None] + q_len[:, None] - 1 - mi,
+        q_off[:, None] + mi,
+    )
+    qflat = (b[:, None] * L + jnp.clip(qidx, 0, L - 1)).reshape(-1)
+    q = seqs.reshape(-1)[qflat].reshape(-1, M)
+    q = jnp.where(mi < q_len[:, None], q, jnp.uint8(4)).astype(jnp.int32)
+    nj = jnp.arange(N, dtype=jnp.int32)[None, :]
+    tidx = jnp.where(
+        t_rev[:, None] == 1,
+        t_start[:, None] + t_len[:, None] - 1 - nj,
+        t_start[:, None] + nj,
+    )
+    t = text[jnp.clip(tidx, 0, T - 1)]
+    t = jnp.where(nj < t_len[:, None], t, jnp.uint8(4)).astype(jnp.int32)
+    return q, t, q_len, t_len, band
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "N", "params", "zdrop", "is_global", "interpret"),
+)
+def _dp_desc_runs_fused(text, seqs, desc, M, N, params, zdrop, is_global,
+                        interpret=False):
+    """Descriptor-mode DP through the fused Pallas kernel (ops/dp_fused.py):
+    forward + traceback on-chip, only packed runs + meta leave the device.
+    Returns (runs_t [R, P] int32 packed op+4*len back-to-front,
+    meta [8, P] int32: n_runs, score, max_i, max_j, zdropped, overflow)."""
+    from ma_tpu.ops.dp_fused import banded_align_runs
+
+    # no TPU -> Pallas interpret mode (CPU tests of the fused path)
+    interpret = interpret or jax.default_backend() == "cpu"
+    q, t, q_len, t_len, band = _desc_operands(text, seqs, desc, M, N)
+    runs, meta = banded_align_runs(
+        q, t, q_len, t_len, band, M=M, N=N, params=params, zdrop=zdrop,
+        is_global=is_global, interpret=interpret,
+    )
+    return jnp.transpose(runs), meta
+
+
+def packed_runs_to_cigars(runs_t: np.ndarray, n_runs: np.ndarray):
+    """Decode downloaded packed runs ([R', P] back-to-front, op+4*len) into
+    forward-order cigars. Rows with n_runs > the downloaded prefix (run
+    overflow) return None — caller falls back per problem."""
+    Rp = runs_t.shape[0]
+    out = []
+    for p in range(len(n_runs)):
+        nr = int(n_runs[p])
+        if nr > Rp:
+            out.append(None)
+            continue
+        cigar = []
+        for k in range(nr - 1, -1, -1):
+            v = int(runs_t[k, p])
+            cigar.append((v & 3, v >> 2))
+        out.append(cigar)
+    return out
 
 
 def runs_to_cigars(run_op, run_start, n_ops, n_runs, rem_i, rem_j):

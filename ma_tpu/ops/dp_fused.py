@@ -1,0 +1,473 @@
+"""Fused Pallas banded DP: forward row sweep + in-kernel traceback.
+
+The kswcpp-equivalent flagship kernel (reference: libs/kswcpp/inc/
+kswcpp_core.h:1-879 — banded 2-piece-affine z-drop DP; scoring semantics
+from KswCppParam, kswcpp.h:44-129). Same recurrences, boundary conventions
+and direction-byte layout as ma_tpu/ops/dp_rows.py, which remains the
+XLA-scan reference implementation (and the CPU/test path).
+
+Why fused: the split formulation writes a [P, M, N] direction tensor to
+HBM and walks it with a lax.while_loop whose per-step 3-D gather
+(dirs[p, i_p, j_p]) lowers to a serial per-problem loop on TPU — measured
+0.6-1.0 s per bucket call, 87% of the round-2 pipeline wall time. Here a
+block of problems lives entirely in VMEM:
+
+* forward: one row per loop step, all state ([PB, N] planes) in VMEM,
+  direction bytes into a [M, PB, N] int8 VMEM scratch — never to HBM;
+* traceback: runs IN THE SAME KERNEL, vectorized across the problem block
+  (lanes = reference positions, sublanes = problems). Each query row is
+  visited exactly once (M/I moves leave a row immediately; D runs stay
+  within one row and are consumed whole via a per-row cummax of
+  continuation-bit boundaries), so the walk is max-qlen steps of pure
+  VPU work instead of path-length steps of HBM gathers;
+* output: merged CIGAR runs (op + length packed into one int32), score,
+  max cell, z-drop — O(runs) bytes per problem leave the chip.
+
+The row loop runs to the BLOCK's max query length (problems are sorted by
+qlen by the caller), so padding rows cost nothing — the band-local
+computation kswcpp gets from its st/en tracking (kswcpp_core.h) falls out
+of the blocking.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ma_tpu.ops.dp import (
+    CONT_E1,
+    CONT_E2,
+    CONT_F1,
+    CONT_F2,
+    DPParams,
+    OP_D,
+    OP_I,
+    OP_M,
+    SRC_DIAG,
+    SRC_E1,
+    SRC_E2,
+    SRC_F1,
+    SRC_F2,
+    SRC_MASK,
+)
+
+NEG = -(2**30)
+MAX_RUNS = 32  # per-problem run capacity; overflow lanes are flagged
+
+# traceback modes
+_TB_H, _TB_E1, _TB_E2, _TB_F1, _TB_F2 = 0, 1, 2, 3, 4
+
+# book columns (per-lane scalars, [PB, 128] int32 scratch)
+_GMAX, _GI, _GJ, _GD, _SCR, _DROP = 0, 1, 2, 3, 4, 5
+_TJ, _TMODE, _TDONE, _TCNT, _TREMI, _TOVER, _TLAST, _TMOVED = 6, 7, 8, 9, 10, 11, 12, 13
+
+
+def _shift_right(x, fill, k: int = 1):
+    """x shifted right by k lanes along the last axis, filled with `fill`
+    (a [PB, 1] or scalar)."""
+    PB = x.shape[0]
+    f = jnp.broadcast_to(jnp.asarray(fill, x.dtype), (PB, k))
+    return jnp.concatenate([f, x[:, :-k]], axis=1)
+
+
+def _cummax_lanes(x):
+    """Inclusive cummax along the lane (last) axis via log-doubling."""
+    n = x.shape[-1]
+    sh = 1
+    while sh < n:
+        x = jnp.maximum(x, _shift_right(x, jnp.iinfo(jnp.int32).min, sh))
+        sh *= 2
+    return x
+
+
+def _sel_lane(arr, idx):
+    """arr[p, idx[p]] via one-hot reduce. arr [PB, N], idx [PB, 1] -> [PB, 1]."""
+    N = arr.shape[1]
+    jj = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    return jnp.sum(jnp.where(jj == idx, arr, 0), axis=1, keepdims=True)
+
+
+def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
+            f1_ref, f2_ref, book_ref, *, M: int, N: int, R: int,
+            params: DPParams, zdrop: int, is_global: bool):
+    PB = t_ref.shape[0]
+    go1, ge1 = params.gap_open, params.gap_extend
+    go2, ge2 = params.gap_open2, params.gap_extend2
+    jj = jax.lax.broadcasted_iota(jnp.int32, (PB, N), 1)
+
+    m = meta_ref[:, 0:1]  # qlen [PB, 1]
+    n = meta_ref[:, 1:2]  # tlen
+    w = meta_ref[:, 2:3]  # band
+
+    def gap_cost(k):  # negative best cost of a length-k gap (k >= 1)
+        return jnp.maximum(-(go1 + k * ge1), -(go2 + k * ge2))
+
+    # ---- init ----
+    hp_ref[:] = jnp.full((PB, N), NEG, jnp.int32)
+    f1_ref[:] = jnp.full((PB, N), NEG, jnp.int32)
+    f2_ref[:] = jnp.full((PB, N), NEG, jnp.int32)
+    book_ref[:] = jnp.zeros((PB, 128), jnp.int32)
+    book_ref[:, _GMAX : _GMAX + 1] = jnp.full(
+        (PB, 1), NEG if is_global else 0, jnp.int32
+    )
+    book_ref[:, _GI : _GI + 1] = jnp.full((PB, 1), -1, jnp.int32)
+    book_ref[:, _GJ : _GJ + 1] = jnp.full((PB, 1), -1, jnp.int32)
+    book_ref[:, _GD : _GD + 1] = jnp.full((PB, 1), 2**30, jnp.int32)
+    book_ref[:, _SCR : _SCR + 1] = jnp.full((PB, 1), NEG, jnp.int32)
+    runs_ref[:] = jnp.zeros((PB, R), jnp.int32)
+
+    m_max = jnp.max(meta_ref[:, 0:1])
+
+    # =================================================== forward row sweep
+    def fwd_row(i, _):
+        h_prev = hp_ref[:]
+        f1p = f1_ref[:]
+        f2p = f2_ref[:]
+        dropped = book_ref[:, _DROP : _DROP + 1] != 0
+        valid = (jj < n) & (i < m) & (jnp.abs(i - jj) <= w)
+
+        h_up = jnp.where(
+            i == 0, jnp.where(jj > 0, gap_cost(jj), NEG), h_prev
+        )
+        nf1 = jnp.maximum(h_up - (go1 + ge1), f1p - ge1)
+        nf2 = jnp.maximum(h_up - (go2 + ge2), f2p - ge2)
+        cf1 = f1p - ge1 >= h_up - (go1 + ge1)
+        cf2 = f2p - ge2 >= h_up - (go2 + ge2)
+
+        h_prev_r = _shift_right(h_prev, NEG)
+        diag = jnp.where(
+            i == 0,
+            jnp.where(jj == 0, 0, gap_cost(jj)),
+            jnp.where(jj > 0, h_prev_r, gap_cost(i)),
+        )
+        qc = _sel_lane(q_ref[:], jnp.full((PB, 1), i, jnp.int32))  # [PB, 1]
+        tc = t_ref[:]
+        is_n = (qc >= 4) | (tc >= 4)
+        sc = jnp.where(is_n, 0, jnp.where(qc == tc, params.match, -params.mismatch))
+        hd = diag + sc
+
+        h0 = jnp.where(valid, jnp.maximum(hd, jnp.maximum(nf1, nf2)), NEG)
+        virt = jnp.where(i > 0, gap_cost(i), NEG)  # scalar
+
+        v1 = _shift_right(h0 + ge1 * jj, virt - ge1)
+        e1 = _cummax_lanes(v1) - go1 - ge1 * jj
+        v2 = _shift_right(h0 + ge2 * jj, virt - ge2)
+        e2 = _cummax_lanes(v2) - go2 - ge2 * jj
+
+        open_src = _shift_right(h0, virt)
+        ce1 = _shift_right(e1, NEG) - ge1 >= open_src - (go1 + ge1)
+        ce2 = _shift_right(e2, NEG) - ge2 >= open_src - (go2 + ge2)
+
+        h = hd
+        src = jnp.zeros((PB, N), jnp.int32)
+        for cand, code in ((e1, SRC_E1), (nf1, SRC_F1), (e2, SRC_E2), (nf2, SRC_F2)):
+            better = cand > h
+            h = jnp.maximum(h, cand)
+            src = jnp.where(better, code, src)
+        h = jnp.where(valid, h, NEG)
+
+        dirbyte = (
+            src
+            | jnp.where(ce1, CONT_E1, 0)
+            | jnp.where(cf1, CONT_F1, 0)
+            | jnp.where(ce2, CONT_E2, 0)
+            | jnp.where(cf2, CONT_F2, 0)
+        )
+        dirs_ref[pl.ds(i, 1)] = dirbyte.astype(jnp.int8)[None]
+
+        # ---- bookkeeping (per-lane) ----
+        scr = book_ref[:, _SCR : _SCR + 1]
+        at_last = i == m - 1
+        has_end = jnp.sum(
+            jnp.where(valid & (jj == n - 1), 1, 0), axis=1, keepdims=True
+        ) > 0
+        h_end = _sel_lane(h, jnp.clip(n - 1, 0, N - 1))
+        book_ref[:, _SCR : _SCR + 1] = jnp.where(at_last & has_end, h_end, scr)
+
+        gmax = book_ref[:, _GMAX : _GMAX + 1]
+        gi = book_ref[:, _GI : _GI + 1]
+        gj = book_ref[:, _GJ : _GJ + 1]
+        gd = book_ref[:, _GD : _GD + 1]
+        hm = jnp.where(valid & ~dropped, h, NEG)
+        rmax = jnp.max(hm, axis=1, keepdims=True)
+        rarg = jnp.min(jnp.where(hm == rmax, jj, N), axis=1, keepdims=True)
+        upd = (
+            (rmax > gmax) | ((rmax == gmax) & (gi >= 0) & (i + rarg < gd))
+        ) & ~dropped & (rmax > NEG)
+        book_ref[:, _GMAX : _GMAX + 1] = jnp.where(upd, rmax, gmax)
+        book_ref[:, _GI : _GI + 1] = jnp.where(upd, i, gi)
+        book_ref[:, _GJ : _GJ + 1] = jnp.where(upd, rarg, gj)
+        book_ref[:, _GD : _GD + 1] = jnp.where(upd, i + rarg, gd)
+        if zdrop >= 0:
+            gmax2 = book_ref[:, _GMAX : _GMAX + 1]
+            gi2 = book_ref[:, _GI : _GI + 1]
+            gj2 = book_ref[:, _GJ : _GJ + 1]
+            diff = jnp.abs((i - gi2) - (rarg - gj2))
+            has = (jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True) > 0) & (
+                gi2 >= 0
+            )
+            ndrop = dropped | (has & (gmax2 - rmax > zdrop + diff * ge1))
+            book_ref[:, _DROP : _DROP + 1] = ndrop.astype(jnp.int32)
+
+        hp_ref[:] = h
+        f1_ref[:] = nf1
+        f2_ref[:] = nf2
+        return 0
+
+    jax.lax.fori_loop(0, m_max, fwd_row, 0, unroll=False)
+
+    # =================================================== in-kernel traceback
+    if is_global:
+        si = m - 1
+        sj = n - 1
+    else:
+        si = book_ref[:, _GI : _GI + 1]
+        sj = book_ref[:, _GJ : _GJ + 1]
+    book_ref[:, _TJ : _TJ + 1] = sj
+    book_ref[:, _TMODE : _TMODE + 1] = jnp.zeros((PB, 1), jnp.int32)
+    book_ref[:, _TDONE : _TDONE + 1] = (si < 0).astype(jnp.int32)
+    book_ref[:, _TCNT : _TCNT + 1] = jnp.zeros((PB, 1), jnp.int32)
+    book_ref[:, _TREMI : _TREMI + 1] = jnp.full((PB, 1), -1, jnp.int32)
+    book_ref[:, _TLAST : _TLAST + 1] = jnp.full((PB, 1), -1, jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (PB, R), 1)
+
+    def emit(op, ln, mask):
+        """Append/merge a run (stored back-to-front). op/ln/mask [PB, 1]."""
+        cnt = book_ref[:, _TCNT : _TCNT + 1]
+        last = book_ref[:, _TLAST : _TLAST + 1]
+        mask = mask & (ln > 0)
+        merge = mask & (last == op) & (cnt > 0)
+        new = mask & ~merge
+        over = new & (cnt >= R)
+        new = new & ~over
+        at_prev = rr == cnt - 1
+        at_cnt = rr == cnt
+        runs = runs_ref[:]
+        runs = jnp.where(at_prev & merge, runs + ln * 4, runs)
+        runs = jnp.where(at_cnt & new, ln * 4 + op, runs)
+        runs_ref[:] = runs
+        book_ref[:, _TCNT : _TCNT + 1] = cnt + new.astype(jnp.int32)
+        book_ref[:, _TLAST : _TLAST + 1] = jnp.where(mask & ~over, op, last)
+        book_ref[:, _TOVER : _TOVER + 1] = (
+            book_ref[:, _TOVER : _TOVER + 1] | over.astype(jnp.int32)
+        )
+
+    def tb_row(carry):
+        i, _ = carry
+        row = dirs_ref[pl.ds(i, 1)][0].astype(jnp.int32)  # [PB, N]
+        # rightmost column <= j with the continuation bit CLEAR (per piece):
+        # a D run starting at j consumes cells j..that column
+        c1 = _cummax_lanes(jnp.where((row & CONT_E1) == 0, jj, -1))
+        c2 = _cummax_lanes(jnp.where((row & CONT_E2) == 0, jj, -1))
+
+        # reset per-row moved flags: lanes not active in this row count as
+        # already moved so the inner loop skips them
+        done0 = book_ref[:, _TDONE : _TDONE + 1] != 0
+        act0 = ~done0 & (si >= i)
+        book_ref[:, _TMOVED : _TMOVED + 1] = jnp.where(act0, 0, 1)
+
+        def inner(c):
+            it, _ = c
+            j = book_ref[:, _TJ : _TJ + 1]
+            mode = book_ref[:, _TMODE : _TMODE + 1]
+            done = book_ref[:, _TDONE : _TDONE + 1] != 0
+            moved0 = book_ref[:, _TMOVED : _TMOVED + 1] != 0
+            in_row = ~done & ~moved0
+            byte = _sel_lane(row, jnp.clip(j, 0, N - 1))
+            src = byte & SRC_MASK
+
+            # F continuation (entered this row in F mode)
+            is_f = in_row & ((mode == _TB_F1) | (mode == _TB_F2))
+            fbit = jnp.where(mode == _TB_F1, CONT_F1, CONT_F2)
+            f_cont = (byte & fbit) != 0
+
+            is_h = in_row & (mode == _TB_H)
+            h_m = is_h & (src == SRC_DIAG)
+            h_f1 = is_h & (src == SRC_F1)
+            h_f2 = is_h & (src == SRC_F2)
+            h_e1 = is_h & (src == SRC_E1)
+            h_e2 = is_h & (src == SRC_E2)
+            h_f = h_f1 | h_f2
+            h_e = h_e1 | h_e2
+
+            # --- emit I for F-continuation and fresh F, M for diag
+            emit(jnp.full((PB, 1), OP_I, jnp.int32), jnp.ones((PB, 1), jnp.int32),
+                 is_f | h_f)
+            emit(jnp.full((PB, 1), OP_M, jnp.int32), jnp.ones((PB, 1), jnp.int32),
+                 h_m)
+            # --- D runs: consume cells j..stop where stop = rightmost
+            # cont-clear column <= j (or column 0 if none)
+            cpos = jnp.where(h_e1, _sel_lane(c1, jnp.clip(j, 0, N - 1)),
+                             _sel_lane(c2, jnp.clip(j, 0, N - 1)))
+            run_end = jnp.where(cpos >= 0, cpos, 0)
+            d_len = jnp.where(cpos >= 0, j - run_end + 1, j + 1)
+            emit(jnp.full((PB, 1), OP_D, jnp.int32), jnp.where(h_e, d_len, 0), h_e)
+
+            # --- state updates
+            nj = jnp.where(h_m, j - 1, j)
+            nj = jnp.where(h_e, jnp.where(cpos >= 0, run_end - 1, -1), nj)
+            # F: new mode carries to the next row; fresh F checks its own bit
+            # (bit select in int32 — bool-valued select_n does not lower)
+            fresh_cont = (byte & jnp.where(h_f1, CONT_F1, CONT_F2)) != 0
+            nmode = jnp.where(is_f, jnp.where(f_cont, mode, _TB_H), mode)
+            nmode = jnp.where(h_f1 & fresh_cont, _TB_F1, nmode)
+            nmode = jnp.where(h_f2 & fresh_cont, _TB_F2, nmode)
+            nmode = jnp.where((h_f1 | h_f2) & ~fresh_cont, _TB_H, nmode)
+            nmode = jnp.where(h_m | h_e, _TB_H, nmode)
+
+            moved = is_f | h_m | h_f  # leaves the row (i decrements)
+            # done within this row: a D run walked past column 0
+            row_done = in_row & h_e & (nj < 0)
+            # moved off the grid: ni = i-1 < 0 handled by loop end; nj < 0
+            # with rows left means a leading I residual of (i-1)+1
+            move_off_j = in_row & moved & (nj < 0)
+            book_ref[:, _TJ : _TJ + 1] = jnp.where(in_row, nj, j)
+            book_ref[:, _TMODE : _TMODE + 1] = jnp.where(in_row, nmode, mode)
+            remi = book_ref[:, _TREMI : _TREMI + 1]
+            remi = jnp.where(row_done, i, remi)
+            remi = jnp.where(move_off_j, i - 1, remi)
+            book_ref[:, _TREMI : _TREMI + 1] = remi
+            book_ref[:, _TDONE : _TDONE + 1] = (
+                done | row_done | move_off_j
+            ).astype(jnp.int32)
+            book_ref[:, _TMOVED : _TMOVED + 1] = (
+                moved0 | (in_row & moved)
+            ).astype(jnp.int32)
+            still = in_row & ~moved & ~row_done
+            return it + 1, jnp.sum(still.astype(jnp.int32)) > 0
+
+        jax.lax.while_loop(
+            lambda c: c[1] & (c[0] < N + 2),
+            inner,
+            (jnp.int32(0), jnp.asarray(True)),
+        )
+        return i - 1, jnp.int32(0)
+
+    jax.lax.while_loop(
+        lambda c: c[0] >= 0, tb_row, (m_max - 1, jnp.int32(0))
+    )
+
+    # lanes that finished by walking off the query rows: rem_j = final j
+    remi = book_ref[:, _TREMI : _TREMI + 1]
+    j_fin = book_ref[:, _TJ : _TJ + 1]
+    started = si >= 0
+    remj = jnp.where(started & (remi < 0) & (j_fin >= 0), j_fin, -1)
+    # residual leading gaps (forward order: D then I) — stored back-to-front,
+    # so append I first, then D
+    emit(jnp.full((PB, 1), OP_I, jnp.int32), remi + 1, remi >= 0)
+    emit(jnp.full((PB, 1), OP_D, jnp.int32), remj + 1, remj >= 0)
+
+    mout_ref[:, 0:1] = book_ref[:, _TCNT : _TCNT + 1]
+    if is_global:
+        mout_ref[:, 1:2] = book_ref[:, _SCR : _SCR + 1]
+    else:
+        mout_ref[:, 1:2] = book_ref[:, _GMAX : _GMAX + 1]
+    mout_ref[:, 2:3] = book_ref[:, _GI : _GI + 1]
+    mout_ref[:, 3:4] = book_ref[:, _GJ : _GJ + 1]
+    mout_ref[:, 4:5] = book_ref[:, _DROP : _DROP + 1]
+    mout_ref[:, 5:6] = book_ref[:, _TOVER : _TOVER + 1]
+    mout_ref[:, 6:8] = jnp.zeros((PB, 2), jnp.int32)
+
+
+def _pick_pb(M: int, N: int) -> int:
+    """Problems per block: dirs [M, PB, N] int8 + ~12 [PB, N] int32 planes
+    within a ~10 MB VMEM budget; >= 32 (int8 sublane tile), <= 256."""
+    budget = 10 * 2**20
+    pb = 256
+    while pb > 32 and pb * (M * N + 56 * N) > budget:
+        pb //= 2
+    return pb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "N", "params", "zdrop", "is_global", "interpret"),
+)
+def banded_align_runs(
+    q: jax.Array,  # [P, M] int32/uint8 query codes
+    t: jax.Array,  # [P, N] int32/uint8 target codes
+    qlen: jax.Array,  # [P]
+    tlen: jax.Array,  # [P]
+    band: jax.Array,  # [P]
+    *,
+    M: int,
+    N: int,
+    params: DPParams = DPParams(),
+    zdrop: int = -1,
+    is_global: bool = True,
+    interpret: bool = False,
+):
+    """Fused DP + traceback. Returns (runs [P, R] int32 packed op+4*len in
+    back-to-front order, meta [8, P] int32: n_runs, score, max_i, max_j,
+    zdropped, run_overflow)."""
+    P = q.shape[0]
+    PB = min(_pick_pb(M, N), max(32, P))
+    Pp = ((P + PB - 1) // PB) * PB
+    pad = Pp - P
+
+    def padp(a, fill=0):
+        a = jnp.asarray(a)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+            )
+        return a
+
+    q = padp(jnp.asarray(q, jnp.int32), 4)
+    t = padp(jnp.asarray(t, jnp.int32), 4)
+    meta = jnp.stack(
+        [
+            padp(jnp.asarray(qlen, jnp.int32), 1),
+            padp(jnp.asarray(tlen, jnp.int32), 1),
+            padp(jnp.asarray(band, jnp.int32), 1),
+        ],
+        axis=1,
+    )
+    meta = jnp.concatenate([meta, jnp.zeros((Pp, 5), jnp.int32)], axis=1)
+
+    grid = (Pp // PB,)
+    R = MAX_RUNS
+    runs, mout = pl.pallas_call(
+        functools.partial(
+            _kernel, M=M, N=N, R=R, params=params, zdrop=zdrop,
+            is_global=is_global,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((PB, M), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, N), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((PB, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Pp, R), jnp.int32),
+            jax.ShapeDtypeStruct((Pp, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, PB, N), jnp.int8),  # dirs
+            pltpu.VMEM((PB, N), jnp.int32),  # h_prev
+            pltpu.VMEM((PB, N), jnp.int32),  # f1
+            pltpu.VMEM((PB, N), jnp.int32),  # f2
+            pltpu.VMEM((PB, 128), jnp.int32),  # book
+        ],
+        interpret=interpret,
+    )(q, t, meta)
+    meta_t = jnp.transpose(mout[:P]).astype(jnp.int32)  # [8, P]
+    return runs[:P], meta_t
+
+
+def runs_to_cigar_host(runs_row: np.ndarray, n_runs: int):
+    """Decode one packed run row (back-to-front) to a forward cigar."""
+    out = []
+    for k in range(n_runs - 1, -1, -1):
+        v = int(runs_row[k])
+        out.append((v & 3, v >> 2))
+    return out

@@ -316,6 +316,9 @@ class NWAligner:
         all_buckets = []
         for key, idxs in buckets.items():
             MAX_P = self._max_p(key[0], key[1])
+            # sort by query length: the fused kernel's row loop runs to the
+            # BLOCK max qlen, so homogeneous blocks skip padding rows
+            idxs.sort(key=lambda i: self._problems[i].q_len)
             for s in range(0, len(idxs), MAX_P):
                 all_buckets.append((key, idxs[s : s + MAX_P]))
         # On accelerators ALWAYS pad the problem count to the bucket cap:
@@ -324,12 +327,24 @@ class NWAligner:
         # (P, M, N) program mid-run — far more expensive than padded
         # execution. On CPU (tests) pad to the next power of two instead.
         on_accel = _jax.devices()[0].platform != "cpu"
+        import os as _os
+
         from ma_tpu.ops.dp import (
+            _dp_desc_runs_fused,
             _dp_tb_desc_runs,
             banded_align_traceback_packed,
+            packed_runs_to_cigars,
             runs_to_cigars,
         )
         from ma_tpu.utils.profile import stage_timer
+
+        # the fused Pallas kernel (forward + traceback on-chip) is the
+        # default on accelerators; the XLA rows path remains the reference
+        # implementation and the CPU default (MA_TPU_DP overrides)
+        dp_kernel = _os.environ.get("MA_TPU_DP") or (
+            "fused" if on_accel else "rows"
+        )
+        fused_ok = self.desc_mode and dp_kernel == "fused"
 
         # phase 1: dispatch every bucket's device program without waiting —
         # JAX async dispatch queues them back to back, so the ~25 ms
@@ -338,6 +353,9 @@ class NWAligner:
         launched = []
         with stage_timer(self.profiler, "dp dispatch"):
             for (M, N, is_global), idxs in all_buckets:
+                # fused kernel: short/medium queries only — its in-VMEM run
+                # buffer is sized for them; long reads use the split path
+                use_fused = fused_ok and M <= 256
                 P = self._max_p(M, N) if on_accel else _next_pow2(len(idxs), lo=8)
                 if self.desc_mode:
                     desc = np.zeros((8, P), np.int32)
@@ -350,7 +368,8 @@ class NWAligner:
                             p.read_idx, p.q_off, p.q_len, p.q_rev,
                             p.t_start, p.t_len, p.t_rev, p.band,
                         )
-                    out = _dp_tb_desc_runs(
+                    fn = _dp_desc_runs_fused if use_fused else _dp_tb_desc_runs
+                    out = fn(
                         self.text_dev, self.seqs_dev,
                         jnp.asarray(desc, jnp.int32), M=M, N=N,
                         params=cfg.params,
@@ -373,17 +392,29 @@ class NWAligner:
                         zdrop=-1 if is_global else cfg.zdrop,
                         is_global=is_global,
                     )
-                launched.append(((M, N, is_global), idxs, out))
+                launched.append(((M, N, is_global), idxs, out, use_fused))
 
         # phase 2: download run boundaries (tiny) instead of the [P, S] ops
         # matrix; rows with > MAX_RUNS runs (rare) fall back to their row
-        for (M, N, is_global), idxs, out in launched:
+        for (M, N, is_global), idxs, out, use_fused in launched:
             K = len(idxs)
             with stage_timer(
                 self.profiler,
                 f"dp collect {('glob' if is_global else 'ext')} {M}x{N}",
             ):
-                if self.desc_mode:
+                if self.desc_mode and use_fused:
+                    runs_t_d, meta_d = out
+                    meta = np.asarray(meta_d)
+                    n_runs = meta[0]
+                    smax = max(1, int(n_runs[:K].max(initial=0)))
+                    runs_t = np.asarray(runs_t_d[:smax])
+                    cigars = packed_runs_to_cigars(runs_t, n_runs[:K])
+                    for k in range(K):
+                        if cigars[k] is None or meta[5][k]:
+                            cigars[k] = self._redo_one(
+                                idxs[k], is_global
+                            )
+                elif self.desc_mode:
                     ops_d, meta_d, run_op_d, run_start_d, n_runs_d = out
                     meta = np.asarray(meta_d)
                     run_op = np.asarray(run_op_d[:K])
@@ -410,7 +441,10 @@ class NWAligner:
                     cigars = rle_ops_batch(
                         ops[:K], n_ops[:K], rem_i[:K], rem_j[:K]
                     )
-            max_i, max_j = meta[4], meta[5]
+            if self.desc_mode and use_fused:
+                max_i, max_j = meta[2], meta[3]
+            else:
+                max_i, max_j = meta[4], meta[5]
             for k, i in enumerate(idxs):
                 p = self._problems[i]
                 if is_global:
@@ -419,6 +453,36 @@ class NWAligner:
                 else:
                     p.max_i, p.max_j = int(max_i[k]), int(max_j[k])
                     p.cigar = cigars[k] if p.max_i >= 0 else []
+
+    def _redo_one(self, prob_idx: int, is_global: bool):
+        """Rare fallback for fused-kernel run-buffer overflow: re-run one
+        problem through the XLA rows path on the host CPU device (fast
+        compile, no TPU program churn)."""
+        import jax as _jax
+
+        from ma_tpu.ops.dp import banded_align_traceback_packed, rle_ops
+
+        p = self._problems[prob_idx]
+        if p.q is not None:
+            q, t = p.q, p.t
+        else:
+            q = np.asarray(self.seqs_dev[p.read_idx])[p.q_off : p.q_off + p.q_len]
+            if p.q_rev:
+                q = q[::-1]
+            t = np.asarray(self.text_dev[p.t_start : p.t_start + p.t_len])
+            if p.t_rev:
+                t = t[::-1]
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            ops, meta = banded_align_traceback_packed(
+                q[None].astype(np.uint8), t[None].astype(np.uint8),
+                np.asarray([len(q)], np.int32), np.asarray([len(t)], np.int32),
+                np.asarray([p.band], np.int32), params=self.cfg.params,
+                zdrop=-1 if is_global else self.cfg.zdrop,
+                is_global=is_global,
+            )
+        p.max_i, p.max_j = int(meta[4][0]), int(meta[5][0])
+        return rle_ops(np.asarray(ops)[0], int(meta[0][0]), int(meta[1][0]),
+                       int(meta[2][0]))
 
     # ------------------------------------------------------------- assembly
     def _append_cigar(self, aln: Alignment, cigar, query, ref, qpos, rpos):
