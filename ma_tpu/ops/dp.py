@@ -534,6 +534,9 @@ def _desc_operands(text, seqs, desc, M, N):
     return q, t, q_len, t_len, band
 
 
+RUNS_HEAD = 12  # runs shipped in the combined first download per problem
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("M", "N", "params", "zdrop", "is_global", "interpret"),
@@ -542,8 +545,13 @@ def _dp_desc_runs_fused(text, seqs, desc, M, N, params, zdrop, is_global,
                         interpret=False):
     """Descriptor-mode DP through the fused Pallas kernel (ops/dp_fused.py):
     forward + traceback on-chip, only packed runs + meta leave the device.
-    Returns (runs_t [R, P] int32 packed op+4*len back-to-front,
-    meta [8, P] int32: n_runs, score, max_i, max_j, zdropped, overflow)."""
+
+    Returns (comb [8 + RUNS_HEAD, P] int16, runs_t [R, P] int32). comb rows
+    0-7 are the meta (n_runs, score, max_i, max_j, zdropped, overflow, 0, 0)
+    and rows 8.. the first RUNS_HEAD packed runs — ONE small int16 download
+    covers the common case (the tunnel is round-trip-bound: each separate
+    np.asarray costs ~15 ms of latency); rows with more runs fall back to a
+    slice of the full int32 runs_t."""
     from ma_tpu.ops.dp_fused import banded_align_runs
 
     # no TPU -> Pallas interpret mode (CPU tests of the fused path)
@@ -553,7 +561,13 @@ def _dp_desc_runs_fused(text, seqs, desc, M, N, params, zdrop, is_global,
         q, t, q_len, t_len, band, M=M, N=N, params=params, zdrop=zdrop,
         is_global=is_global, interpret=interpret,
     )
-    return jnp.transpose(runs), meta
+    runs_t = jnp.transpose(runs)
+    # packed run values are <= 4*(M+N)+3 and meta fields are tiny once
+    # clipped, so int16 halves the transfer
+    comb = jnp.concatenate(
+        [jnp.clip(meta, -32768, 32767), runs_t[:RUNS_HEAD]], axis=0
+    ).astype(jnp.int16)
+    return comb, runs_t
 
 
 def packed_runs_to_cigars(runs_t: np.ndarray, n_runs: np.ndarray):

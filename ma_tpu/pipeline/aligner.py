@@ -512,12 +512,14 @@ class Aligner:
             jax.block_until_ready(meta)
         return self.finish_batch(reads, harm, data, meta, seqs_dev)
 
-    def finish_batch(
+    def plan_batch(
         self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None,
         seqs_dev=None,
-    ) -> List[List[Alignment]]:
-        """Host half: DP fill/extend + assembly + mapping quality."""
-        pset = self.pset
+    ):
+        """First host half: wait for the device stage's packed output, plan
+        DP problems and DISPATCH them (async). Returns an opaque pending
+        state for collect_batch. Splitting here lets the caller enqueue the
+        next batch's device stage behind this batch's DP programs."""
         nw = NWAligner(
             self.pack, self.nw_cfg, profiler=self.profiler,
             text_dev=self.text_dev if seqs_dev is not None else None,
@@ -557,8 +559,16 @@ class Aligner:
                 if out is not None:
                     plans.append((b, int(hsoc[b, gset]), out))
         t_plan.__exit__(None, None, None)
+        nw.dispatch_batches()  # async; timed as "dp dispatch" internally
+        return reads, nw, plans
+
+    def collect_batch(self, pending) -> List[List[Alignment]]:
+        """Second host half: wait for DP results, assemble alignments,
+        mapping quality, small inversions."""
+        reads, nw, plans = pending
+        pset = self.pset
         with stage_timer(self.profiler, "device banded DP + traceback"):
-            nw.run_batches()
+            nw.collect_batches()
         per_read: List[List[Alignment]] = [[] for _ in reads]
         with stage_timer(self.profiler, "host CIGAR assembly"):
             for (b, strip, out) in plans:
@@ -598,6 +608,15 @@ class Aligner:
                 disable_heuristics=bool(pset.get("Disable All Heuristics")),
             )
         return result
+
+    def finish_batch(
+        self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None,
+        seqs_dev=None,
+    ) -> List[List[Alignment]]:
+        """Host half: DP fill/extend + assembly + mapping quality."""
+        return self.collect_batch(
+            self.plan_batch(reads, harm, data_d, meta_d, seqs_dev)
+        )
 
     # --------------------------------------------------------------- frontend
     def align_to_sam(
@@ -643,12 +662,15 @@ class Aligner:
                 harm, _soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
             return bucket, harm, data, meta, seqs_dev
 
-        def finish(pending):
-            nonlocal n
+        def plan(pending):
+            """Wait for the device stage, plan + DISPATCH this batch's DP."""
             bucket, harm, data, meta, seqs_dev = pending
-            for read, alns in zip(
-                bucket, self.finish_batch(bucket, harm, data, meta, seqs_dev)
-            ):
+            return bucket, self.plan_batch(bucket, harm, data, meta, seqs_dev)
+
+        def collect(planned):
+            nonlocal n
+            bucket, state = planned
+            for read, alns in zip(bucket, self.collect_batch(state)):
                 if omit_sec:
                     alns = [a for a in alns if not a.secondary]
                 if omit_sup:
@@ -658,20 +680,27 @@ class Aligner:
             if progress is not None and progress(n) is False:
                 raise KeyboardInterrupt("alignment cancelled by progress callback")
 
-        pending = None
+        # 3-phase software pipeline: plan(k) dispatches DP(k) BEFORE the
+        # device stage of batch k+1 is enqueued, so the device queue is
+        # [stage k][DP k][stage k+1][DP k+1]... and host assembly of batch k
+        # overlaps the device stage of batch k+1.
+        pending = None  # device stage in flight
+        planned = None  # DP in flight
+        def rotate(next_bucket):
+            nonlocal pending, planned
+            new_planned = plan(pending) if pending is not None else None
+            pending = launch(next_bucket) if next_bucket is not None else None
+            if planned is not None:
+                collect(planned)
+            planned = new_planned
+
         for read in reads:
             key = _next_pow2(max(len(read), 1))
             buckets.setdefault(key, []).append(read)
             if len(buckets[key]) >= batch_size:
-                launched = launch(buckets.pop(key))
-                if pending is not None:
-                    finish(pending)
-                pending = launched
+                rotate(buckets.pop(key))
         for bucket in buckets.values():
-            launched = launch(bucket)
-            if pending is not None:
-                finish(pending)
-            pending = launched
-        if pending is not None:
-            finish(pending)
+            rotate(bucket)
+        rotate(None)
+        rotate(None)
         return n

@@ -115,6 +115,7 @@ class NWAligner:
         self.text_dev = text_dev
         self.seqs_dev = seqs_dev
         self._read_idx = -1  # set by plan_set in descriptor mode
+        self._launched = None  # dispatched device calls awaiting collect
 
     @property
     def desc_mode(self) -> bool:
@@ -305,17 +306,67 @@ class NWAligner:
     # ------------------------------------------------------------ execution
     def run_batches(self):
         """Solve all planned DP problems with bucketed device calls."""
+        self.dispatch_batches()
+        self.collect_batches()
+
+    def dispatch_batches(self):
+        """Phase 1: launch every bucket's device program (async dispatch) —
+        separated from collect_batches so the caller can enqueue the NEXT
+        read batch's device stage behind these programs and overlap its own
+        host work with both (the pipeline-parallel overlap the reference
+        gets from its thread pool, module.h:268-396)."""
+        self._run_phase(collect=False)
+
+    def collect_batches(self):
+        self._run_phase(collect=True)
+
+    # fused-kernel bucket ladders: no [P, M, N] HBM tensor exists, so the
+    # bucket count (each call pays a tunnel round trip) matters more than
+    # padding. All short-query problems collapse into at most three shapes:
+    # glob (32, 128), ext (64, 768) and ext/glob (256, 768); the row loop
+    # runs to each BLOCK's max qlen so M padding is nearly free.
+    M_LADDER_FUSED = [32, 64, 256]
+    N_LADDER_FUSED = [128, 768]
+    MAX_P_FUSED = 16384
+
+    @classmethod
+    def _bucket_shape_fused(cls, m: int, n: int):
+        if m <= 256 and n <= 768:
+            M = next(v for v in cls.M_LADDER_FUSED if m <= v)
+            N = next(v for v in cls.N_LADDER_FUSED if n <= v)
+            if N == 768:
+                M = max(M, 64)  # one (64,768) + one (256,768) shape only
+            return (M, N)
+        return cls._bucket_shape(m, n)
+
+    def _run_phase(self, collect: bool):
         import jax as _jax
 
         cfg = self.cfg
+        if collect:
+            self._collect(self._launched)
+            self._launched = None
+            return
+        import os as _os0
+
+        on_accel0 = _jax.devices()[0].platform != "cpu"
+        dp_kernel0 = _os0.environ.get("MA_TPU_DP") or (
+            "fused" if on_accel0 else "rows"
+        )
+        fused_ok0 = self.desc_mode and dp_kernel0 == "fused"
         buckets: Dict[tuple, List[int]] = {}
         for i, p in enumerate(self._problems):
-            M, N = self._bucket_shape(max(p.q_len, 1), max(p.t_len, 1))
+            m, n = max(p.q_len, 1), max(p.t_len, 1)
+            M, N = (
+                self._bucket_shape_fused(m, n) if fused_ok0
+                else self._bucket_shape(m, n)
+            )
             key = (M, N, p.is_global)
             buckets.setdefault(key, []).append(i)
         all_buckets = []
         for key, idxs in buckets.items():
-            MAX_P = self._max_p(key[0], key[1])
+            fused_b = fused_ok0 and key[0] <= 256
+            MAX_P = self.MAX_P_FUSED if fused_b else self._max_p(key[0], key[1])
             # sort by query length: the fused kernel's row loop runs to the
             # BLOCK max qlen, so homogeneous blocks skip padding rows
             idxs.sort(key=lambda i: self._problems[i].q_len)
@@ -356,7 +407,13 @@ class NWAligner:
                 # fused kernel: short/medium queries only — its in-VMEM run
                 # buffer is sized for them; long reads use the split path
                 use_fused = fused_ok and M <= 256
-                P = self._max_p(M, N) if on_accel else _next_pow2(len(idxs), lo=8)
+                if use_fused and on_accel:
+                    # pad to a 4096 multiple: a handful of P variants ever
+                    P = 4096 * (-(-len(idxs) // 4096))
+                elif on_accel:
+                    P = self._max_p(M, N)
+                else:
+                    P = _next_pow2(len(idxs), lo=8)
                 if self.desc_mode:
                     desc = np.zeros((8, P), np.int32)
                     desc[2] = 1  # q_len
@@ -393,21 +450,63 @@ class NWAligner:
                         is_global=is_global,
                     )
                 launched.append(((M, N, is_global), idxs, out, use_fused))
+        self._launched = launched
 
-        # phase 2: download run boundaries (tiny) instead of the [P, S] ops
-        # matrix; rows with > MAX_RUNS runs (rare) fall back to their row
-        for (M, N, is_global), idxs, out, use_fused in launched:
+    def _collect(self, launched):
+        """Phase 2: download run boundaries (tiny) instead of the [P, S]
+        ops matrix; rows with > MAX_RUNS runs (rare) fall back.
+
+        All fused buckets' combined int16 outputs are concatenated ON
+        DEVICE and fetched with ONE np.asarray — the tunnel costs ~15 ms
+        of round-trip latency per transfer, so one coalesced download per
+        read batch beats one per bucket."""
+        import jax.numpy as _jnp
+
+        from ma_tpu.ops.dp import (
+            RUNS_HEAD,
+            packed_runs_to_cigars,
+            rle_ops,
+            rle_ops_batch,
+            runs_to_cigars,
+        )
+        from ma_tpu.utils.profile import stage_timer
+
+        fused_list = [e for e in launched if e[3]]
+        comb_np = None
+        comb_off = {}
+        if fused_list:
+            with stage_timer(self.profiler, "dp collect fused download"):
+                combs = []
+                off = 0
+                for e in fused_list:
+                    comb_d = e[2][0]
+                    comb_off[id(e)] = (off, comb_d.shape[1])
+                    combs.append(comb_d)
+                    off += comb_d.shape[1]
+                big = combs[0] if len(combs) == 1 else _jnp.concatenate(
+                    combs, axis=1
+                )
+                comb_np = np.asarray(big)
+
+        for entry in launched:
+            (M, N, is_global), idxs, out, use_fused = entry
             K = len(idxs)
             with stage_timer(
                 self.profiler,
                 f"dp collect {('glob' if is_global else 'ext')} {M}x{N}",
             ):
                 if self.desc_mode and use_fused:
-                    runs_t_d, meta_d = out
-                    meta = np.asarray(meta_d)
+                    off, P = comb_off[id(entry)]
+                    comb = comb_np[:, off : off + P].astype(np.int32)
+                    meta = comb[:8]
                     n_runs = meta[0]
-                    smax = max(1, int(n_runs[:K].max(initial=0)))
-                    runs_t = np.asarray(runs_t_d[:smax])
+                    smax = int(n_runs[:K].max(initial=0))
+                    if smax > RUNS_HEAD:
+                        # rare: some row needs more runs than the combined
+                        # download carries — fetch the full int32 rows
+                        runs_t = np.asarray(out[1][:smax])
+                    else:
+                        runs_t = comb[8 : 8 + max(1, smax)]
                     cigars = packed_runs_to_cigars(runs_t, n_runs[:K])
                     for k in range(K):
                         if cigars[k] is None or meta[5][k]:

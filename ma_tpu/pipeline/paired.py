@@ -111,10 +111,17 @@ def paired_sam_record(
     rnext, pnext, tlen = "*", "0", "0"
     other = aln.stats.other
     if other is not None:
-        p1 = aln.begin_on_ref
-        p2 = int(pack.pos_to_reverse_strand(other.begin_on_ref))
-        d = abs(p1 - p2)
-        tlen = ("" if aln.stats.first else "-") + str(d)
+        # spec-conformant TLEN: distance between the template's outermost
+        # forward-projected coordinates, positive on the leftmost mate.
+        # (The reference computes a mirror-fold distance and its observed
+        # output carries TLEN=0; this is a deliberate divergence.)
+        b1 = aln.sam_position(pack) - 1
+        e1 = b1 + (aln.end_on_ref - aln.begin_on_ref)
+        b2 = other.sam_position(pack) - 1
+        e2 = b2 + (other.end_on_ref - other.begin_on_ref)
+        d = max(e1, e2) - min(b1, b2)
+        leftmost = b1 < b2 or (b1 == b2 and aln.stats.first)
+        tlen = ("" if leftmost else "-") + str(d)
         if pack.is_reverse_strand(other.begin_on_ref):
             flag |= NEXT_REVERSE_COMPLEMENTED
         rnext = other.contig(pack)
@@ -163,13 +170,22 @@ class PairedAligner:
         self.use_m = bool(p.get("Use M in CIGAR"))
         self.omit_sec = bool(p.get("Omit Secondary Alignments"))
         self.omit_sup = bool(p.get("Omit Supplementary Alignments"))
+        # the reference's PairedFileReader reverse-complements every mate
+        # before alignment when this is set (default; fileReader.h:610-613,
+        # parameter.h xRevCompPairedReadMates) — all downstream pairing and
+        # SAM emission then sees the transformed mate, so we transform at
+        # the same point for record-exact parity
+        self.revcomp_mate = bool(p.get("Paired Mate - Mate Pair"))
+
+    def _mate(self, q: NucSeq) -> NucSeq:
+        return q.revcomp() if self.revcomp_mate else q
 
     def align_pairs(
         self, pairs: List[Tuple[NucSeq, NucSeq]]
     ) -> List[List[Alignment]]:
         """Align both mates and pick the jointly optimal combination."""
         firsts = [p[0] for p in pairs]
-        seconds = [p[1] for p in pairs]
+        seconds = [self._mate(p[1]) for p in pairs]
         res1 = self.aligner.align_batch(firsts)
         res2 = self.aligner.align_batch(seconds)
         out = []
@@ -206,7 +222,7 @@ class PairedAligner:
                         continue
                     out.write(
                         paired_sam_record(
-                            a, q1, q2, self.aligner.pack,
+                            a, q1, self._mate(q2), self.aligner.pack,
                             soft_clip=self.soft_clip, use_m_cigar=self.use_m,
                         )
                         + "\n"

@@ -3,6 +3,8 @@ real chip, to locate where the 'device seed+soc+harmonize' time goes.
 
 Usage: python profile_device_stage.py [batch] (default 4096)
 """
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

@@ -1,4 +1,6 @@
 """Test candidate fixes for the fit->sweep fusion pathology."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,5 +1,7 @@
 """Time harmonization/SoC sub-pieces on the real chip. Builds the same
 inputs as profile_device_stage.py, then times each sub-function."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,5 +1,7 @@
 """Measure per-step overhead of lax.scan/while_loop on the (tunneled) chip
 as a function of carry size and unroll factor."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -4,6 +4,8 @@ while-loop sweep, (d) rectangular re-collection + heap ranking.
 
 Usage: python profiling/profile_soc_internals.py [batch]
 """
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -2,6 +2,8 @@
 pipeline to find where the composed program loses its time (every primitive
 is <0.2 ms standalone per profile_micro.py, yet the composition costs
 hundreds of ms)."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,4 +1,6 @@
 """Ablate the _linesweep body to find the expensive op on the chip."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

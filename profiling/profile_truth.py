@@ -4,6 +4,8 @@ takes 45 ms to a d2h readback), so every measurement here forces a small
 device->host readback of the result. Also contrasts loop styles to find
 which program features pay real latency.
 """
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 
