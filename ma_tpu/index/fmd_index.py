@@ -109,12 +109,19 @@ class FMDIndex:
         text = fm_text_from_pack(pack)
         return cls.from_text(text)
 
+    # beyond this text length the int64-SA build path (~25 bytes/char with
+    # temporaries) outgrows RAM; the packed-40-bit path (~6.5 bytes/char,
+    # native/sais40.cpp, bwt_large.cpp role) takes over
+    LARGE_TEXT_THRESHOLD = 500_000_000
+
     @classmethod
     def from_text(cls, text: np.ndarray) -> "FMDIndex":
         """Build from an explicit code text (values 0..3). For the aligner the
         text must be fwd||revcomp (FMD symmetry); tests may pass any text."""
         text = np.asarray(text, dtype=np.uint8)
         n = int(text.shape[0])
+        if n >= cls.LARGE_TEXT_THRESHOLD:
+            return cls.from_text_large(text)
         sa = suffix_array(text)  # [n+1], sa[.]==0 row is primary
         primary = int(np.nonzero(sa == 0)[0][0])
         # BWT without the $ row
@@ -133,6 +140,26 @@ class FMDIndex:
             L2=L2,
             bwt_words=pack_bwt_words(bwt),
             occ_cp=occ_checkpoints(bwt),
+            ssa=ssa,
+        )
+
+    @classmethod
+    def from_text_large(cls, text: np.ndarray) -> "FMDIndex":
+        """Memory-bounded build through the packed-40-bit SA-IS + streaming
+        BWT emitter (native/sais40.cpp; role of bwt_large.cpp:1522,1607).
+        Field-identical to from_text."""
+        from ma_tpu.native.sais import fmd_arrays_large
+
+        text = np.ascontiguousarray(text, dtype=np.uint8)
+        n = int(text.shape[0])
+        primary, bwt_words, occ_cp, ssa = fmd_arrays_large(
+            text, occ_interval=OCC_INTERVAL, sa_interval=SA_INTERVAL
+        )
+        counts = np.bincount(text, minlength=4).astype(np.int64)
+        L2 = np.zeros(5, dtype=np.int64)
+        L2[1:] = np.cumsum(counts)
+        return cls(
+            n=n, primary=primary, L2=L2, bwt_words=bwt_words, occ_cp=occ_cp,
             ssa=ssa,
         )
 

@@ -60,3 +60,70 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"sais_u8 failed with {rc}")
     return sa
+
+
+# ---------------------------------------------------------- packed-40 build
+_SRC40 = os.path.join(_HERE, "sais40.cpp")
+_SO40 = os.path.join(_HERE, "_sais40.so")
+_lib40 = None
+
+
+def _load40():
+    global _lib40
+    with _lock:
+        if _lib40 is not None:
+            return _lib40
+        if not os.path.exists(_SO40) or os.path.getmtime(_SO40) < os.path.getmtime(
+            _SRC40
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO40,
+                 _SRC40],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO40)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sais40_u8.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib.sais40_u8.restype = ctypes.c_int
+        lib.fmd_from_sa40.argtypes = [
+            u8p, ctypes.c_int64, u8p,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib.fmd_from_sa40.restype = ctypes.c_int64
+        _lib40 = lib
+        return lib
+
+
+def fmd_arrays_large(text: np.ndarray, occ_interval: int = 128,
+                     sa_interval: int = 32):
+    """Memory-bounded FMD artifacts via the packed-40-bit SA-IS
+    (native/sais40.cpp — the bwt_large.cpp role): returns
+    (primary, bwt_words uint32 [nb, 8], occ_cp int64 [nb, 4],
+    ssa int64 [n//sa_interval + 1]) without ever materializing an int64
+    suffix array or a uint8 BWT."""
+    lib = _load40()
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(text)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    sa40 = np.empty(5 * (n + 1) + 8, dtype=np.uint8)
+    rc = lib.sais40_u8(
+        text.ctypes.data_as(u8p), ctypes.c_int64(n), sa40.ctypes.data_as(u8p)
+    )
+    if rc != 0:
+        raise RuntimeError(f"sais40_u8 failed with {rc}")
+    nb = -(-n // occ_interval)
+    bwt_words = np.zeros((nb, occ_interval // 16), dtype=np.uint32)
+    occ_cp = np.zeros((nb, 4), dtype=np.int64)
+    ssa = np.zeros(n // sa_interval + 1, dtype=np.int64)
+    primary = lib.fmd_from_sa40(
+        text.ctypes.data_as(u8p), ctypes.c_int64(n), sa40.ctypes.data_as(u8p),
+        bwt_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        occ_cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ssa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(sa_interval),
+    )
+    if primary < 0:
+        raise RuntimeError("fmd_from_sa40 failed")
+    return int(primary), bwt_words, occ_cp, ssa

@@ -327,7 +327,10 @@ class NWAligner:
     # runs to each BLOCK's max qlen so M padding is nearly free.
     M_LADDER_FUSED = [32, 64, 256]
     N_LADDER_FUSED = [128, 768]
-    MAX_P_FUSED = 16384
+    # problems per fused call: P > 4096 hits the same pathological XLA
+    # compile as batch 8192 did for the device stage (BASELINE.md) — more
+    # calls are fine because their downloads coalesce into one transfer
+    MAX_P_FUSED = 4096
 
     @classmethod
     def _bucket_shape_fused(cls, m: int, n: int):
