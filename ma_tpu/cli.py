@@ -123,6 +123,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     mate_files: List[str] = []
     out_path = None
     sv_mode = False
+    serve_path = None
 
     try:
         i = 0
@@ -158,6 +159,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 sv_mode = True
                 i += 1
                 continue
+            if opt == "--Serve" or key == "serve":
+                serve_path = nxt
+                i += 2
+                continue
             if opt == "-X" or key == "create_index":
                 parts = nxt.split(",")
                 if len(parts) != 3:
@@ -188,6 +193,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 p.set(True)
                 i += 1
 
+        if serve_path is not None:
+            if index_prefix is None:
+                raise RuntimeError("--Serve requires an index (-x)")
+            return run_server(mgr, index_prefix, serve_path)
         if index_prefix is None or not in_files:
             raise RuntimeError(
                 "both an index (-x) and at least one read file (-i) must be provided"
@@ -327,6 +336,85 @@ def run_alignment(
           file=sys.stderr)
     if aligner.profiler is not None:
         aligner.profiler.analyze(out=sys.stderr)
+    return 0
+
+
+def run_server(mgr: ParameterSetManager, index_prefix: str,
+               socket_path: str) -> int:
+    """--Serve <socket>: persistent alignment daemon.
+
+    The tunneled chip cannot persist compiled executables, so every fresh
+    process pays the device-stage compile (~1-5 min). This keeps one
+    warm process alive and serves align requests over a unix socket as
+    newline-delimited JSON: {"in": [paths], "mate": [paths]?, "out": path,
+    "batch": int?} -> {"ok": true, "n": N, "seconds": t}. An empty line or
+    {"cmd": "shutdown"} ends the server. The reference gets the same
+    effect from its long-lived GUI/DB processes (execution-context.h).
+    """
+    import json
+    import socket as socketlib
+
+    _ensure_jax_backend()
+    from ma_tpu.containers.pack import Pack
+    from ma_tpu.index.fmd_index import FMDIndex
+    from ma_tpu.io.fasta import read_reads, zip_paired
+    from ma_tpu.pipeline.aligner import Aligner
+
+    pack = Pack.load(index_prefix)
+    fmd = FMDIndex.load(index_prefix)
+    aligner = Aligner(pack, fmd, mgr, index_prefix=index_prefix)
+
+    if os.path.exists(socket_path):
+        os.unlink(socket_path)
+    srv = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    srv.bind(socket_path)
+    srv.listen(1)
+    print(f"ma-tpu server ready on {socket_path}", file=sys.stderr, flush=True)
+
+    def all_reads(paths):
+        for path in paths:
+            yield from read_reads(path)
+
+    try:
+        while True:
+            conn, _ = srv.accept()
+            with conn, conn.makefile("rw") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        if req.get("cmd") == "shutdown":
+                            f.write(json.dumps({"ok": True, "bye": True}) + "\n")
+                            f.flush()
+                            return 0
+                        t0 = time.perf_counter()
+                        with open(req["out"], "w") as out:
+                            if req.get("mate"):
+                                from ma_tpu.pipeline.paired import PairedAligner
+
+                                n = PairedAligner(aligner).align_to_sam(
+                                    zip_paired(all_reads(req["in"]),
+                                               all_reads(req["mate"])),
+                                    out, batch_size=int(req.get("batch", 4096)),
+                                )
+                            else:
+                                n = aligner.align_to_sam(
+                                    all_reads(req["in"]), out,
+                                    batch_size=int(req.get("batch", 4096)),
+                                )
+                        f.write(json.dumps({
+                            "ok": True, "n": n,
+                            "seconds": round(time.perf_counter() - t0, 3),
+                        }) + "\n")
+                    except Exception as ex:  # report, keep serving
+                        f.write(json.dumps({"ok": False, "error": str(ex)}) + "\n")
+                    f.flush()
+    finally:
+        srv.close()
+        if os.path.exists(socket_path):
+            os.unlink(socket_path)
     return 0
 
 

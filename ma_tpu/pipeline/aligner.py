@@ -398,6 +398,14 @@ class Aligner:
         ref windows are sliced on device instead of shipped per problem
         through the ~25 MB/s tunnel (see ops/dp.py _dp_tb_desc)."""
         if self._text_dev is None:
+            self._text_dev = jnp.asarray(self.text_host)
+        return self._text_dev
+
+    @property
+    def text_host(self):
+        """Host copy of the folded genome codes (used by the native finish
+        stage's =/X splitting; identical bytes to text_dev)."""
+        if getattr(self, "_text_host", None) is None:
             from ma_tpu.containers.nucseq import revcomp_codes
 
             codes = np.asarray(self.pack.codes, np.uint8)
@@ -405,8 +413,8 @@ class Aligner:
             pad = (-len(text)) % 128  # misaligned transfers are ~100x slower
             if pad:
                 text = np.concatenate([text, np.full(pad, 4, np.uint8)])
-            self._text_dev = jnp.asarray(text)
-        return self._text_dev
+            self._text_host = text
+        return self._text_host
 
     def _mem_seed_batch(self, seqs: np.ndarray, lens: np.ndarray, cfg):
         """Host MEM seeding -> SeedBatch (memExtension is an O(L^2) host
@@ -510,11 +518,11 @@ class Aligner:
         with stage_timer(self.profiler, "device seed+soc+harmonize"):
             harm, soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
             jax.block_until_ready(meta)
-        return self.finish_batch(reads, harm, data, meta, seqs_dev)
+        return self.finish_batch(reads, harm, data, meta, seqs_dev, seqs)
 
     def plan_batch(
         self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None,
-        seqs_dev=None,
+        seqs_dev=None, seqs_np=None,
     ):
         """First host half: wait for the device stage's packed output, plan
         DP problems and DISPATCH them (async). Returns an opaque pending
@@ -542,6 +550,12 @@ class Aligner:
             cap = min(cap, data_d.shape[1])
             hqlr = np.asarray(data_d[:, :cap])
         hq, hl, hr = hqlr[0], hqlr[1], hqlr[2]
+        if seqs_np is not None and nw.desc_mode and self._use_native_finish():
+            out = self._plan_native(
+                reads, nw, seqs_np, hq, hl, hr, hn, hsv, hsoc
+            )
+            if out is not None:
+                return out
         offs = np.concatenate(([0], np.cumsum(hn.reshape(-1))))
         plans: List[Tuple[int, int, tuple]] = []
         t_plan = stage_timer(self.profiler, "host DP planning")
@@ -562,9 +576,207 @@ class Aligner:
         nw.dispatch_batches()  # async; timed as "dp dispatch" internally
         return reads, nw, plans
 
+    def _use_native_finish(self) -> bool:
+        """Native C++ plan/assemble (pipeline/finish_native.py): default on
+        accelerators with the fused DP kernel; MA_TPU_FINISH overrides
+        (native|python)."""
+        import os
+
+        mode = os.environ.get("MA_TPU_FINISH", "auto")
+        if mode == "python":
+            return False
+        on_accel = jax.devices()[0].platform != "cpu"
+        dp_kernel = os.environ.get("MA_TPU_DP") or (
+            "fused" if on_accel else "rows"
+        )
+        if dp_kernel != "fused":
+            return False
+        from ma_tpu.pipeline import finish_native
+
+        if mode == "native":
+            return finish_native.available()
+        return on_accel and finish_native.available()
+
+    def _plan_native(self, reads, nw, seqs_np, hq, hl, hr, hn, hsv, hsoc):
+        """C++ planning + vectorized fused-DP dispatch. Returns the pending
+        tuple, or None to fall back to the Python path (e.g. long reads
+        whose problems exceed the fused buckets)."""
+        from ma_tpu.ops.dp import _dp_desc_runs_fused
+        from ma_tpu.pipeline import finish_native
+
+        B, G = hn.shape
+        flat_n = hn.reshape(-1)
+        sel = np.flatnonzero(flat_n)  # candidate sets (hsv=False have n=0)
+        t_plan = stage_timer(self.profiler, "host DP planning")
+        t_plan.__enter__()
+        set_off = np.zeros(len(sel) + 1, np.int64)
+        np.cumsum(flat_n[sel], out=set_off[1:])
+        set_read = (sel // G).astype(np.int32)
+        set_soc = hsoc.reshape(-1)[sel].astype(np.int32)
+        planned = finish_native.plan(
+            self.pack, nw.cfg, reads,
+            seqs_np, np.ascontiguousarray(hq, np.int32),
+            np.ascontiguousarray(hl, np.int32),
+            np.ascontiguousarray(hr, np.int32), set_off, set_read, set_soc,
+        )
+        t_plan.__exit__(None, None, None)
+        if planned is None:
+            return None
+        desc, toks, sbr = planned
+        n_prob = len(desc)
+        if n_prob and (
+            int(desc[:, 2].max(initial=0)) > 256
+            or int(desc[:, 5].max(initial=0)) > 768
+        ):
+            return None  # long-read problems: Python path
+        # ---- vectorized bucketing + dispatch (desc rows only, no objects)
+        launched = []
+        with stage_timer(self.profiler, "dp dispatch"):
+            if n_prob:
+                m = np.maximum(desc[:, 2], 1)
+                n = np.maximum(desc[:, 5], 1)
+                isg = desc[:, 8]
+                Nb = np.where(n <= 128, 128, 768)
+                Mb = np.select([m <= 32, m <= 64], [32, 64], 256)
+                Mb = np.where((Nb == 768) & (Mb < 64), 64, Mb)
+                key = Mb.astype(np.int64) * 10000 + Nb * 4 + isg * 2
+                order = np.lexsort((m, key))
+                skey = key[order]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], skey[1:] != skey[:-1]))
+                )
+                bounds = np.concatenate((bounds, [n_prob]))
+                MAXP = NWAligner.MAX_P_FUSED
+                on_accel = jax.devices()[0].platform != "cpu"
+                for bi in range(len(bounds) - 1):
+                    rows_all = order[bounds[bi] : bounds[bi + 1]]
+                    Mv, Nv = int(Mb[rows_all[0]]), int(Nb[rows_all[0]])
+                    is_glob = bool(isg[rows_all[0]])
+                    for s in range(0, len(rows_all), MAXP):
+                        rows = rows_all[s : s + MAXP]
+                        P = MAXP if on_accel else max(64, 1 << int(
+                            np.ceil(np.log2(len(rows)))
+                        ))
+                        d8 = np.zeros((8, P), np.int32)
+                        d8[2] = 1
+                        d8[5] = 1
+                        d8[7] = 1
+                        d8[:, : len(rows)] = desc[rows, :8].T
+                        out = _dp_desc_runs_fused(
+                            self.text_dev, nw.seqs_dev, jnp.asarray(d8),
+                            M=Mv, N=Nv, params=nw.cfg.params,
+                            zdrop=-1 if is_glob else nw.cfg.zdrop,
+                            is_global=is_glob,
+                        )
+                        launched.append((rows, is_glob, out))
+        state = (reads, nw, desc, toks, sbr, set_read, set_soc, seqs_np,
+                 launched)
+        return ("native", state)
+
+    def _collect_native(self, state) -> List[List[Alignment]]:
+        from ma_tpu.ops.dp import RUNS_HEAD
+        from ma_tpu.pipeline import finish_native
+
+        (reads, nw, desc, toks, sbr, set_read, set_soc, seqs_np,
+         launched) = state
+        n_prob = len(desc)
+        prob_nr = np.zeros(n_prob, np.int64)
+        fwd_ops: List[Optional[np.ndarray]] = [None] * len(launched)
+        with stage_timer(self.profiler, "device banded DP + traceback"):
+            # one device_get over every bucket's combined int16 output (a
+            # per-batch on-device concat would recompile for each distinct
+            # bucket combination)
+            if launched:
+                combs_np = jax.device_get([out[0] for (_, _, out) in launched])
+                comb_np = np.concatenate(
+                    [np.asarray(c) for c in combs_np], axis=1
+                ).astype(np.int32)
+            prob_meta = np.full((max(n_prob, 1), 2), -1, np.int64)
+            runs_rows = []
+            off = 0
+            for li, (rows, is_glob, out) in enumerate(launched):
+                P = out[0].shape[1]
+                comb = comb_np[:, off : off + P]
+                off += P
+                K = len(rows)
+                n_runs = comb[0, :K]
+                over = comb[5, :K]
+                smax = int(n_runs.max(initial=0))
+                if smax > RUNS_HEAD:
+                    runs_t = np.asarray(out[1][:smax])[:, :K]
+                else:
+                    runs_t = comb[8 : 8 + max(1, smax), :K]
+                prob_nr[rows] = n_runs
+                prob_meta[rows, 0] = comb[2, :K]
+                prob_meta[rows, 1] = comb[3, :K]
+                # forward-order runs [K, smax]
+                jj = np.arange(max(1, smax))[None, :]
+                idx = np.clip(n_runs[:, None] - 1 - jj, 0, max(smax - 1, 0))
+                fwd = np.take_along_axis(runs_t.T, idx, axis=1)
+                fwd = np.where(jj < n_runs[:, None], fwd, 0)
+                fwd_ops[li] = fwd
+                if over.any():
+                    for k in np.flatnonzero(over):
+                        cig = self._redo_native(nw, desc[rows[k]], is_glob)
+                        arr = np.asarray(
+                            [(o | (l << 2)) for (o, l) in cig], np.int64
+                        )
+                        pad = np.zeros(max(1, smax), np.int64)
+                        if len(arr) > len(pad):
+                            pad = np.zeros(len(arr), np.int64)
+                            # widen this bucket's rows
+                            wider = np.zeros((K, len(arr)), np.int64)
+                            wider[:, : fwd.shape[1]] = fwd
+                            fwd = wider
+                            fwd_ops[li] = fwd
+                        pad[: len(arr)] = arr
+                        fwd[k] = pad
+                        prob_nr[rows[k]] = len(arr)
+            # global CSR over problems in row order
+            tot = int(prob_nr.sum())
+            prob_off = np.zeros(n_prob + 1, np.int64)
+            np.cumsum(prob_nr, out=prob_off[1:])
+            prob_runs = np.zeros((tot, 2), np.int32)
+            for li, (rows, is_glob, out) in enumerate(launched):
+                fwd = fwd_ops[li]
+                if fwd is None:
+                    continue
+                nr = prob_nr[rows]
+                mask = np.arange(fwd.shape[1])[None, :] < nr[:, None]
+                vals = fwd[mask]
+                dest = (prob_off[rows][:, None] + np.arange(fwd.shape[1])[None, :])[mask]
+                prob_runs[dest, 0] = vals & 3
+                prob_runs[dest, 1] = vals >> 2
+        with stage_timer(self.profiler, "host CIGAR assembly"):
+            out_op, out_len, out_off, out_meta = finish_native.assemble(
+                toks, sbr, set_read, prob_runs, prob_off, prob_meta,
+                self.text_host, seqs_np, nw.cfg.params, nw.cfg.sv_penalty,
+            )
+            per_read = finish_native.build_alignments(
+                out_op, out_len, out_off, out_meta, set_read, set_soc, reads,
+                nw.cfg.params, nw.cfg.sv_penalty,
+            )
+        return self._quality_phase(reads, per_read)
+
+    def _redo_native(self, nw, desc_row, is_glob):
+        """Run-buffer-overflow fallback for the native path (rare)."""
+        from ma_tpu.pipeline.nw import DPProblem
+
+        p = DPProblem(
+            q=None, t=None, band=int(desc_row[7]), is_global=is_glob,
+            read_idx=int(desc_row[0]), q_off=int(desc_row[1]),
+            q_len=int(desc_row[2]), q_rev=int(desc_row[3]),
+            t_start=int(desc_row[4]), t_len=int(desc_row[5]),
+            t_rev=int(desc_row[6]),
+        )
+        nw._problems.append(p)
+        return nw._redo_one(len(nw._problems) - 1, is_glob)
+
     def collect_batch(self, pending) -> List[List[Alignment]]:
         """Second host half: wait for DP results, assemble alignments,
         mapping quality, small inversions."""
+        if isinstance(pending, tuple) and len(pending) == 2 and pending[0] == "native":
+            return self._collect_native(pending[1])
         reads, nw, plans = pending
         pset = self.pset
         with stage_timer(self.profiler, "device banded DP + traceback"):
@@ -577,6 +789,11 @@ class Aligner:
                 aln.stats.index_of_strip = strip
                 aln.stats.name = reads[b].name
                 per_read[b].append(aln)
+        return self._quality_phase(reads, per_read)
+
+    def _quality_phase(self, reads, per_read) -> List[List[Alignment]]:
+        """Mapping quality + small inversions (shared by both finish paths)."""
+        pset = self.pset
         result = []
         for b, alns in enumerate(per_read):
             result.append(
@@ -611,11 +828,11 @@ class Aligner:
 
     def finish_batch(
         self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None,
-        seqs_dev=None,
+        seqs_dev=None, seqs_np=None,
     ) -> List[List[Alignment]]:
         """Host half: DP fill/extend + assembly + mapping quality."""
         return self.collect_batch(
-            self.plan_batch(reads, harm, data_d, meta_d, seqs_dev)
+            self.plan_batch(reads, harm, data_d, meta_d, seqs_dev, seqs_np)
         )
 
     # --------------------------------------------------------------- frontend
@@ -660,23 +877,27 @@ class Aligner:
                 lens[i] = len(r)
             with stage_timer(self.profiler, "device seed+soc+harmonize"):
                 harm, _soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
-            return bucket, harm, data, meta, seqs_dev
+            return bucket, harm, data, meta, seqs_dev, seqs
 
         def plan(pending):
             """Wait for the device stage, plan + DISPATCH this batch's DP."""
-            bucket, harm, data, meta, seqs_dev = pending
-            return bucket, self.plan_batch(bucket, harm, data, meta, seqs_dev)
+            bucket, harm, data, meta, seqs_dev, seqs = pending
+            return bucket, self.plan_batch(
+                bucket, harm, data, meta, seqs_dev, seqs
+            )
 
         def collect(planned):
             nonlocal n
             bucket, state = planned
-            for read, alns in zip(bucket, self.collect_batch(state)):
-                if omit_sec:
-                    alns = [a for a in alns if not a.secondary]
-                if omit_sup:
-                    alns = [a for a in alns if not a.supplementary]
-                writer.write(alns, read)
-                n += 1
+            results = self.collect_batch(state)
+            with stage_timer(self.profiler, "host SAM write"):
+                for read, alns in zip(bucket, results):
+                    if omit_sec:
+                        alns = [a for a in alns if not a.secondary]
+                    if omit_sup:
+                        alns = [a for a in alns if not a.supplementary]
+                    writer.write(alns, read)
+                    n += 1
             if progress is not None and progress(n) is False:
                 raise KeyboardInterrupt("alignment cancelled by progress callback")
 

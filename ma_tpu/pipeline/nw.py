@@ -479,17 +479,18 @@ class NWAligner:
         comb_off = {}
         if fused_list:
             with stage_timer(self.profiler, "dp collect fused download"):
-                combs = []
+                import jax as _jax2
+
                 off = 0
                 for e in fused_list:
-                    comb_d = e[2][0]
-                    comb_off[id(e)] = (off, comb_d.shape[1])
-                    combs.append(comb_d)
-                    off += comb_d.shape[1]
-                big = combs[0] if len(combs) == 1 else _jnp.concatenate(
-                    combs, axis=1
+                    comb_off[id(e)] = (off, e[2][0].shape[1])
+                    off += e[2][0].shape[1]
+                # one device_get (an on-device concat would recompile per
+                # bucket combination)
+                parts = _jax2.device_get([e[2][0] for e in fused_list])
+                comb_np = np.concatenate(
+                    [np.asarray(p) for p in parts], axis=1
                 )
-                comb_np = np.asarray(big)
 
         for entry in launched:
             (M, N, is_global), idxs, out, use_fused = entry

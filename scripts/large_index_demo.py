@@ -32,7 +32,15 @@ def main():
     fmd = FMDIndex.build(pack)
     t_build = time.time() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    print(f"index build {mbp} Mbp: {t_build:.1f}s peak_rss={rss:.1f} GB", flush=True)
+    path = (
+        "packed-40-bit (sais40.cpp, bwt_large role)"
+        if 2 * n >= FMDIndex.LARGE_TEXT_THRESHOLD
+        else "int64 (sais.cpp)"
+    )
+    print(
+        f"index build {mbp} Mbp via {path}: {t_build:.1f}s peak_rss={rss:.1f} GB",
+        flush=True,
+    )
 
     reads, truth = [], []
     for i in range(32):

@@ -1,0 +1,78 @@
+"""--Serve daemon mode: warm-process alignment over a unix socket
+(kills the per-process compile tax of the tunneled chip; VERDICT r2 #9)."""
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+
+def test_serve_two_requests(tmp_path):
+    from ma_tpu.containers.nucseq import decode_seq, revcomp_codes
+
+    rng = np.random.default_rng(11)
+    G = 50_000
+    genome = rng.integers(0, 4, size=G).astype(np.uint8)
+    seq = decode_seq(genome)
+    fa = tmp_path / "g.fa"
+    fa.write_text(">s\n" + "\n".join(seq[i : i + 80] for i in range(0, G, 80)) + "\n")
+    for r in (1, 2):
+        with open(tmp_path / f"reads{r}.fq", "w") as f:
+            for i in range(16):
+                p = int(rng.integers(0, G - 150))
+                s = seq[p : p + 150]
+                f.write(f"@s{r}_{i}_{p}\n{s}\n+\n{'I' * 150}\n")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    subprocess.run(
+        [sys.executable, "-m", "ma_tpu.cli", "--Create_Index",
+         f"{fa},{tmp_path},idx"],
+        check=True, env=env, capture_output=True, timeout=300,
+    )
+    sock = str(tmp_path / "srv.sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ma_tpu.cli", "-x", str(tmp_path / "idx"),
+         "--Serve", sock],
+        env=env, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        for _ in range(600):
+            if os.path.exists(sock):
+                break
+            time.sleep(0.5)
+            assert proc.poll() is None, proc.stderr.read()
+        else:
+            raise AssertionError("server socket never appeared")
+        times = []
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as c:
+            c.connect(sock)
+            f = c.makefile("rw")
+            for r in (1, 2):
+                f.write(json.dumps({
+                    "in": [str(tmp_path / f"reads{r}.fq")],
+                    "out": str(tmp_path / f"out{r}.sam"),
+                    "batch": 16,
+                }) + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert resp["ok"], resp
+                assert resp["n"] == 16
+                times.append(resp["seconds"])
+            f.write(json.dumps({"cmd": "shutdown"}) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["ok"]
+        # both outputs are real SAM; the warm request skips all compiles
+        for r in (1, 2):
+            lines = (tmp_path / f"out{r}.sam").read_text().splitlines()
+            assert sum(1 for l in lines if not l.startswith("@")) >= 16
+        assert times[1] <= max(times[0], 5.0), times
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
