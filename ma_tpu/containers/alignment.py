@@ -211,7 +211,7 @@ class Alignment:
     # ------------------------------------------------------------------ SAM
     def sam_flag(self, pack: Pack) -> int:
         flag = 0
-        if pack.is_reverse_strand(self.begin_on_ref):
+        if int(self.begin_on_ref) >= pack.unpacked_size_forward_strand:
             flag |= REVERSE_COMPLEMENTED
         if self.secondary:
             flag |= SECONDARY_ALIGNMENT
@@ -220,17 +220,18 @@ class Alignment:
         return flag
 
     def contig(self, pack: Pack) -> str:
-        return pack.names[int(pack.seq_id_for_position(self.begin_on_ref))]
+        return pack.names[pack.seq_id_py(int(self.begin_on_ref))]
 
     def sam_position(self, pack: Pack) -> int:
         """1-based leftmost position (alignment.h getSamPosition:593-601)."""
         # iAbsolutePosition(begin, end): fold by end-1 when on reverse strand
-        if pack.is_reverse_strand(self.end_on_ref):
-            abs_pos = pack.unpacked_size_forward_plus_reverse - (self.end_on_ref + 1)
+        L, starts, _ = pack._py
+        if int(self.end_on_ref) >= L:
+            abs_pos = 2 * L - (int(self.end_on_ref) + 1)
         else:
-            abs_pos = self.begin_on_ref
-        pos = abs_pos - int(pack.starts[int(pack.seq_id_for_position(abs_pos))])
-        if pack.is_reverse_strand(self.begin_on_ref):
+            abs_pos = int(self.begin_on_ref)
+        pos = abs_pos - starts[pack.seq_id_py(abs_pos)]
+        if int(self.begin_on_ref) >= L:
             pos += 1
         return int(pos) + 1
 
@@ -238,7 +239,7 @@ class Alignment:
               use_m: bool = True) -> str:
         """CIGAR string with clips; reversed for reverse-strand alignments
         (alignment.h cigarString / cigarStringWithMInsteadOfXandEqual)."""
-        rev = pack.is_reverse_strand(self.begin_on_ref)
+        rev = int(self.begin_on_ref) >= pack.unpacked_size_forward_strand
         clip = "S" if soft_clip else "H"
         parts: List[str] = []
         front_clip = self.begin_on_query

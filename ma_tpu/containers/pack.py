@@ -115,6 +115,24 @@ class Pack:
         abs_pos = self.absolute_position(np.asarray(pos, dtype=np.int64))
         return np.searchsorted(self.starts, abs_pos, side="right") - 1
 
+    # scalar fast path: numpy scalar ops cost ~5 us each, which dominated
+    # SAM emission at ~35 us/record — plain ints + bisect are ~0.3 us
+    @property
+    def _py(self):
+        """(L, starts list) with python ints, cached."""
+        c = getattr(self, "_py_cache", None)
+        if c is None or c[2] is not self.starts:
+            c = (int(self.codes.shape[0]), self.starts.tolist(), self.starts)
+            self._py_cache = c
+        return c
+
+    def seq_id_py(self, pos: int) -> int:
+        import bisect
+
+        L, starts, _ = self._py
+        abs_pos = 2 * L - pos - 1 if pos >= L else pos
+        return bisect.bisect_right(starts, abs_pos) - 1
+
     def pos_in_contig(self, pos) -> np.ndarray:
         """0-based offset within the owning contig, forward coords."""
         abs_pos = self.absolute_position(np.asarray(pos, dtype=np.int64))

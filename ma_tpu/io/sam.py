@@ -58,7 +58,7 @@ def sam_record(
     use_m_cigar: bool = True,
     cg_tag: bool = False,
 ) -> str:
-    rev = bool(pack.is_reverse_strand(aln.begin_on_ref))
+    rev = int(aln.begin_on_ref) >= pack.unpacked_size_forward_strand
     flag = aln.sam_flag(pack)
     pos = aln.sam_position(pack)
     if needs_cg_tag(aln, cg_tag):

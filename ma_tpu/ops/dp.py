@@ -542,7 +542,7 @@ RUNS_HEAD = 12  # runs shipped in the combined first download per problem
     static_argnames=("M", "N", "params", "zdrop", "is_global", "interpret"),
 )
 def _dp_desc_runs_fused(text, seqs, desc, M, N, params, zdrop, is_global,
-                        interpret=False):
+                        interpret=False, tb_last=None):
     """Descriptor-mode DP through the fused Pallas kernel (ops/dp_fused.py):
     forward + traceback on-chip, only packed runs + meta leave the device.
 
@@ -559,7 +559,7 @@ def _dp_desc_runs_fused(text, seqs, desc, M, N, params, zdrop, is_global,
     q, t, q_len, t_len, band = _desc_operands(text, seqs, desc, M, N)
     runs, meta = banded_align_runs(
         q, t, q_len, t_len, band, M=M, N=N, params=params, zdrop=zdrop,
-        is_global=is_global, interpret=interpret,
+        is_global=is_global, interpret=interpret, tb_last=tb_last,
     )
     runs_t = jnp.transpose(runs)
     # packed run values are <= 4*(M+N)+3 and meta fields are tiny once

@@ -65,6 +65,7 @@ _TB_H, _TB_E1, _TB_E2, _TB_F1, _TB_F2 = 0, 1, 2, 3, 4
 # book columns (per-lane scalars, [PB, 128] int32 scratch)
 _GMAX, _GI, _GJ, _GD, _SCR, _DROP = 0, 1, 2, 3, 4, 5
 _TJ, _TMODE, _TDONE, _TCNT, _TREMI, _TOVER, _TLAST, _TMOVED = 6, 7, 8, 9, 10, 11, 12, 13
+_LRMAX, _LRARG = 14, 15  # best cell of each problem's LAST row (chunked ext)
 
 
 def _shift_right(x, fill, k: int = 1):
@@ -119,6 +120,8 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
     book_ref[:, _GJ : _GJ + 1] = jnp.full((PB, 1), -1, jnp.int32)
     book_ref[:, _GD : _GD + 1] = jnp.full((PB, 1), 2**30, jnp.int32)
     book_ref[:, _SCR : _SCR + 1] = jnp.full((PB, 1), NEG, jnp.int32)
+    book_ref[:, _LRMAX : _LRMAX + 1] = jnp.full((PB, 1), NEG, jnp.int32)
+    book_ref[:, _LRARG : _LRARG + 1] = jnp.full((PB, 1), -1, jnp.int32)
     runs_ref[:] = jnp.zeros((PB, R), jnp.int32)
 
     m_max = jnp.max(meta_ref[:, 0:1])
@@ -196,6 +199,13 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
         hm = jnp.where(valid & ~dropped, h, NEG)
         rmax = jnp.max(hm, axis=1, keepdims=True)
         rarg = jnp.min(jnp.where(hm == rmax, jj, N), axis=1, keepdims=True)
+        at_last_row = i == m - 1
+        book_ref[:, _LRMAX : _LRMAX + 1] = jnp.where(
+            at_last_row, rmax, book_ref[:, _LRMAX : _LRMAX + 1]
+        )
+        book_ref[:, _LRARG : _LRARG + 1] = jnp.where(
+            at_last_row, rarg, book_ref[:, _LRARG : _LRARG + 1]
+        )
         upd = (
             (rmax > gmax) | ((rmax == gmax) & (gi >= 0) & (i + rarg < gd))
         ) & ~dropped & (rmax > NEG)
@@ -226,8 +236,18 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
         si = m - 1
         sj = n - 1
     else:
-        si = book_ref[:, _GI : _GI + 1]
-        sj = book_ref[:, _GJ : _GJ + 1]
+        # meta col 3: trace back from the LAST ROW's best cell instead of
+        # the global max (the through-path of a chunked long-read
+        # extension, pipeline/nw.py chunked z-drop re-alignment)
+        from_last = meta_ref[:, 3:4] != 0
+        lr_ok = book_ref[:, _LRMAX : _LRMAX + 1] > NEG
+        si = jnp.where(
+            from_last, jnp.where(lr_ok, m - 1, -1), book_ref[:, _GI : _GI + 1]
+        )
+        sj = jnp.where(
+            from_last, book_ref[:, _LRARG : _LRARG + 1],
+            book_ref[:, _GJ : _GJ + 1],
+        )
     book_ref[:, _TJ : _TJ + 1] = sj
     book_ref[:, _TMODE : _TMODE + 1] = jnp.zeros((PB, 1), jnp.int32)
     book_ref[:, _TDONE : _TDONE + 1] = (si < 0).astype(jnp.int32)
@@ -371,7 +391,8 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
     mout_ref[:, 3:4] = book_ref[:, _GJ : _GJ + 1]
     mout_ref[:, 4:5] = book_ref[:, _DROP : _DROP + 1]
     mout_ref[:, 5:6] = book_ref[:, _TOVER : _TOVER + 1]
-    mout_ref[:, 6:8] = jnp.zeros((PB, 2), jnp.int32)
+    mout_ref[:, 6:7] = book_ref[:, _LRMAX : _LRMAX + 1]
+    mout_ref[:, 7:8] = book_ref[:, _LRARG : _LRARG + 1]
 
 
 def _pick_pb(M: int, N: int) -> int:
@@ -401,10 +422,11 @@ def banded_align_runs(
     zdrop: int = -1,
     is_global: bool = True,
     interpret: bool = False,
+    tb_last=None,  # optional [P] flags: trace from the last row's best cell
 ):
     """Fused DP + traceback. Returns (runs [P, R] int32 packed op+4*len in
     back-to-front order, meta [8, P] int32: n_runs, score, max_i, max_j,
-    zdropped, run_overflow)."""
+    zdropped, run_overflow, lastrow_max, lastrow_arg)."""
     P = q.shape[0]
     PB = min(_pick_pb(M, N), max(32, P))
     Pp = ((P + PB - 1) // PB) * PB
@@ -420,15 +442,18 @@ def banded_align_runs(
 
     q = padp(jnp.asarray(q, jnp.int32), 4)
     t = padp(jnp.asarray(t, jnp.int32), 4)
+    if tb_last is None:
+        tb_last = jnp.zeros((P,), jnp.int32)
     meta = jnp.stack(
         [
             padp(jnp.asarray(qlen, jnp.int32), 1),
             padp(jnp.asarray(tlen, jnp.int32), 1),
             padp(jnp.asarray(band, jnp.int32), 1),
+            padp(jnp.asarray(tb_last, jnp.int32), 0),
         ],
         axis=1,
     )
-    meta = jnp.concatenate([meta, jnp.zeros((Pp, 5), jnp.int32)], axis=1)
+    meta = jnp.concatenate([meta, jnp.zeros((Pp, 4), jnp.int32)], axis=1)
 
     grid = (Pp // PB,)
     R = MAX_RUNS

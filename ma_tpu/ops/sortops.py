@@ -115,23 +115,31 @@ def merge_rank(
         jax.lax.cummax(jnp.where(is_val, c, jnp.zeros_like(c)), axis=1)
         for c in scarries
     ]
-    # forward-fill of arbitrary values via cummax of (position << 16 | half):
-    # int64 is unavailable (x64 disabled), so the 32-bit value is filled as
-    # two 16-bit halves. Requires S + Q < 2**15.
-    assert S + Q < (1 << 15), "merge_rank carries_any: row too long to pack"
-    mpos = jnp.broadcast_to(jnp.arange(S + Q, dtype=jnp.int32), (B, S + Q))
+    # forward-fill of arbitrary values via cummax of (position << k | chunk):
+    # int64 is unavailable (x64 disabled), so the 31-bit value is filled in
+    # k-bit chunks where k = 30 - ceil(log2(S+Q)) (position must dominate
+    # the packing; long-read rows reach S+Q ~ 100k, so k adapts).
+    row_len = S + Q
+    pos_bits = max(1, (row_len - 1).bit_length())
+    k_bits = 30 - pos_bits
+    assert k_bits >= 1, "merge_rank carries_any: row too long to pack"
+    n_chunks = -(-31 // k_bits)
+    mask_k = (1 << k_bits) - 1
+    mpos = jnp.broadcast_to(jnp.arange(row_len, dtype=jnp.int32), (B, row_len))
     filled_any = []
     for c in scarries_any:
         c32 = c.astype(jnp.int32)
 
-        def fill_half(half):
-            packed = jnp.where(is_val, (mpos << 16) | half, -1)
+        def fill_chunk(chunk):
+            packed = jnp.where(is_val, (mpos << k_bits) | chunk, -1)
             fp = jax.lax.cummax(packed, axis=1)
-            return jnp.where(fp >= 0, fp & 0xFFFF, 0)
+            return jnp.where(fp >= 0, fp & mask_k, 0)
 
-        lo16 = fill_half(c32 & 0xFFFF)
-        hi16 = fill_half((c32 >> 16) & 0x7FFF)
-        filled_any.append((hi16 << 16) | lo16)
+        out32 = jnp.zeros_like(c32)
+        for ci in range(n_chunks):
+            chunk = (c32 >> (ci * k_bits)) & mask_k
+            out32 = out32 | (fill_chunk(chunk) << (ci * k_bits))
+        filled_any.append(out32)
     # deliver back in query order: sort by (tag, mrank) -> queries last, in order
     _, payload_back = sort_with_payloads(
         [stag, smrank], [rank_here] + filled + filled_any

@@ -126,8 +126,10 @@ class DeviceStageConfig:
             min_genome_size=int(g("Minimum Genome Size for Heuristics")),
             # short reads carry few seeds/SoCs: fewer RANSAC candidate pairs
             # and a shallower harmonized-SoC stack keep the [B,K,2,P,3M]
-            # guide-line tensor small without changing long-read behavior
-            n_cand=4 if L <= 256 else 8,
+            # guide-line tensor small without changing long-read behavior;
+            # very long reads (PacBio/ONT) also drop to 4 candidates or the
+            # guide-line tensor goes to GBs
+            n_cand=4 if (L <= 256 or L >= 8192) else 8,
             max_socs_harm=min(max_socs, 8 if L <= 256 else (16 if L <= 1024 else max_socs)),
         )
 
@@ -918,7 +920,10 @@ class Aligner:
         for read in reads:
             key = _next_pow2(max(len(read), 1))
             buckets.setdefault(key, []).append(read)
-            if len(buckets[key]) >= batch_size:
+            # long reads flush in smaller batches: per-read device state
+            # scales with L (seeds, SoC windows, harmonization planes)
+            eff = batch_size if key <= 512 else max(32, batch_size * 512 // key)
+            if len(buckets[key]) >= eff:
                 rotate(buckets.pop(key))
         for bucket in buckets.values():
             rotate(bucket)

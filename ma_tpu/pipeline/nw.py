@@ -358,14 +358,20 @@ class NWAligner:
         )
         fused_ok0 = self.desc_mode and dp_kernel0 == "fused"
         buckets: Dict[tuple, List[int]] = {}
+        chunked: List[int] = []
         for i, p in enumerate(self._problems):
             m, n = max(p.q_len, 1), max(p.t_len, 1)
+            if fused_ok0 and not p.is_global and m > 256:
+                # long one-sided/dual extensions: chunked z-drop path
+                chunked.append(i)
+                continue
             M, N = (
                 self._bucket_shape_fused(m, n) if fused_ok0
                 else self._bucket_shape(m, n)
             )
             key = (M, N, p.is_global)
             buckets.setdefault(key, []).append(i)
+        self._chunked_pending = chunked
         all_buckets = []
         for key, idxs in buckets.items():
             fused_b = fused_ok0 and key[0] <= 256
@@ -459,6 +465,9 @@ class NWAligner:
         """Phase 2: download run boundaries (tiny) instead of the [P, S]
         ops matrix; rows with > MAX_RUNS runs (rare) fall back.
 
+        Long-extension problems routed to the chunked path run here (they
+        are sequential rounds of device calls).
+
         All fused buckets' combined int16 outputs are concatenated ON
         DEVICE and fetched with ONE np.asarray — the tunnel costs ~15 ms
         of round-trip latency per transfer, so one coalesced download per
@@ -491,6 +500,12 @@ class NWAligner:
                 comb_np = np.concatenate(
                     [np.asarray(p) for p in parts], axis=1
                 )
+
+        chunked = getattr(self, "_chunked_pending", None)
+        if chunked:
+            with stage_timer(self.profiler, "dp chunked long ext"):
+                self._chunked_ext(chunked)
+            self._chunked_pending = None
 
         for entry in launched:
             (M, N, is_global), idxs, out, use_fused = entry
@@ -556,6 +571,165 @@ class NWAligner:
                 else:
                     p.max_i, p.max_j = int(max_i[k]), int(max_j[k])
                     p.cigar = cigars[k] if p.max_i >= 0 else []
+
+    # ------------------------------------------------- chunked long-read ext
+    CHUNK_M = 256  # query bases per chunk (fused-kernel bucket)
+    CHUNK_N = 768
+
+    def _chunked_ext(self, idxs):
+        """One-sided extensions with query overhangs beyond the fused
+        buckets, solved as sequential 256-base chunks of the fused kernel
+        (the chunked z-drop re-alignment of SURVEY hard part (d); role of
+        the reference's single ksw_ext call, needlemanWunsch.cpp:82-169).
+
+        Each round traces the chunk's path THROUGH its last row (the
+        kernel's tb_last mode) and re-anchors the next chunk at that cell;
+        the globally best cell over all chunks ends the extension, with
+        one final ext-mode call on its chunk for the tail path. Divergence
+        from a monolithic DP: score dips spanning a chunk's final row stop
+        the extension even when < zdrop, and gaps crossing a chunk border
+        pay the gap-open twice.
+        """
+        from ma_tpu.ops.dp import RUNS_HEAD, _dp_desc_runs_fused
+
+        cfg = self.cfg
+        CH, CN = self.CHUNK_M, self.CHUNK_N
+
+        class St:
+            __slots__ = ("pi", "q_done", "r_done", "cum", "chunks",
+                         "best_total", "best_chunk", "best_cell", "stopped")
+
+        states = []
+        for pi in idxs:
+            s = St()
+            s.pi = pi
+            s.q_done = 0
+            s.r_done = 0
+            s.cum = 0
+            s.chunks = []  # [(runs, lr_arg, q_len_chunk)]
+            s.best_total = 0
+            s.best_chunk = -1  # -1 = extension start (align nothing)
+            s.best_cell = (-1, -1)
+            s.stopped = False
+            states.append(s)
+
+        def chunk_desc(s, q_chunk_len, t_chunk_len):
+            p = self._problems[s.pi]
+            if p.q_rev:
+                q_off = p.q_off + p.q_len - s.q_done - q_chunk_len
+            else:
+                q_off = p.q_off + s.q_done
+            if p.t_rev:
+                t_start = p.t_start + p.t_len - s.r_done - t_chunk_len
+            else:
+                t_start = p.t_start + s.r_done
+            return (p.read_idx, q_off, q_chunk_len, p.q_rev, t_start,
+                    t_chunk_len, p.t_rev, cfg.band_ext)
+
+        def run_round(active, tb_last_flag):
+            P = 4096 if len(active) > 512 else max(
+                8, 1 << int(np.ceil(np.log2(max(len(active), 2))))
+            )
+            desc = np.zeros((8, P), np.int32)
+            desc[2] = 1
+            desc[5] = 1
+            desc[7] = 1
+            lens = []
+            for k, s in enumerate(active):
+                p = self._problems[s.pi]
+                qc = min(CH, p.q_len - s.q_done)
+                tc = min(CN, p.t_len - s.r_done)
+                desc[:, k] = chunk_desc(s, qc, tc)
+                lens.append((qc, tc))
+            tb = np.zeros(P, np.int32)
+            tb[: len(active)] = tb_last_flag
+            comb_d, runs_full_d = _dp_desc_runs_fused(
+                self.text_dev, self.seqs_dev, jnp.asarray(desc), M=CH, N=CN,
+                params=cfg.params, zdrop=cfg.zdrop, is_global=False,
+                tb_last=jnp.asarray(tb),
+            )
+            comb = np.asarray(comb_d)[:, : len(active)].astype(np.int64)
+            meta = comb[:8]
+            smax = max(1, int(meta[0].max(initial=0)))
+            if smax > RUNS_HEAD:
+                runs = np.asarray(runs_full_d[:smax])[:, : len(active)]
+            else:
+                runs = comb[8 : 8 + smax]
+            return meta, runs, lens
+
+        active = [s for s in states if self._problems[s.pi].q_len > 0]
+        rounds = 0
+        while active and rounds < 512:
+            rounds += 1
+            meta, runs, lens = run_round(active, 1)
+            nxt = []
+            for k, s in enumerate(active):
+                p = self._problems[s.pi]
+                qc, tc = lens[k]
+                n_runs = int(meta[0][k])
+                chunk_runs = [
+                    (int(runs[j, k]) & 3, int(runs[j, k]) >> 2)
+                    for j in range(n_runs - 1, -1, -1)
+                ]
+                gmax, gi, gj = int(meta[1][k]), int(meta[2][k]), int(meta[3][k])
+                lrmax, lrarg = int(meta[6][k]), int(meta[7][k])
+                # global best across chunks (extension floor stays 0)
+                if gi >= 0 and s.cum + gmax > s.best_total:
+                    s.best_total = s.cum + gmax
+                    s.best_chunk = len(s.chunks)
+                    s.best_cell = (gi, gj)
+                s.chunks.append((chunk_runs, lrarg, qc))
+                through_ok = (
+                    lrarg >= 0
+                    and s.q_done + qc < p.q_len
+                    and s.r_done + lrarg + 1 < p.t_len
+                    and s.cum + lrmax >= s.best_total - cfg.zdrop
+                )
+                if through_ok:
+                    s.q_done += qc
+                    s.r_done += lrarg + 1
+                    s.cum += lrmax
+                    nxt.append(s)
+                else:
+                    s.stopped = True
+            active = nxt
+
+        # final pass: ext-mode traceback of each problem's best chunk
+        finals = [s for s in states if s.best_chunk >= 0]
+        # rebuild anchors for the best chunk of each problem
+        for s in finals:
+            s.q_done = sum(c[2] for c in s.chunks[: s.best_chunk])
+            s.r_done = sum(c[1] + 1 for c in s.chunks[: s.best_chunk])
+        if finals:
+            meta, runs, lens = run_round(finals, 0)
+        for k, s in enumerate(states):
+            p = self._problems[s.pi]
+            if s.best_chunk < 0:
+                p.max_i, p.max_j = -1, -1
+                p.cigar = []
+                continue
+        for k, s in enumerate(finals):
+            p = self._problems[s.pi]
+            n_runs = int(meta[0][k])
+            tail = [
+                (int(runs[j, k]) & 3, int(runs[j, k]) >> 2)
+                for j in range(n_runs - 1, -1, -1)
+            ]
+            cigar: List[Tuple[int, int]] = []
+            for (chunk_runs, _, _) in s.chunks[: s.best_chunk]:
+                for op, ln in chunk_runs:
+                    if cigar and cigar[-1][0] == op:
+                        cigar[-1] = (op, cigar[-1][1] + ln)
+                    else:
+                        cigar.append((op, ln))
+            for op, ln in tail:
+                if cigar and cigar[-1][0] == op:
+                    cigar[-1] = (op, cigar[-1][1] + ln)
+                else:
+                    cigar.append((op, ln))
+            p.max_i = s.q_done + s.best_cell[0]
+            p.max_j = s.r_done + s.best_cell[1]
+            p.cigar = cigar
 
     def _redo_one(self, prob_idx: int, is_global: bool):
         """Rare fallback for fused-kernel run-buffer overflow: re-run one
