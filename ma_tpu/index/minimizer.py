@@ -132,10 +132,15 @@ class MinimizerIndexDev:
         return cls(*children, shift=aux[0], steps=aux[1])
 
 
-def build_bucket_table(hash_sorted: np.ndarray, target_bits: int = 20):
-    """(bucket_lo, shift, steps) for a hash-sorted uint32 array."""
+def build_bucket_table(hash_sorted: np.ndarray, target_bits: int = 24):
+    """(bucket_lo, shift, steps) for a hash-sorted uint32 array.
+
+    The table is oversized ~8x relative to the entry count so nearly every
+    bucket holds <= 1 entry and the in-bucket binary search needs 1-2
+    gather rounds instead of 5-8 (gathers are the dominant cost of the
+    lookup on TPU; the int32 table costs 4 * 2^bits bytes of HBM)."""
     n = len(hash_sorted)
-    bits = max(1, min(target_bits, max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)))
+    bits = max(1, min(target_bits, max(int(np.ceil(np.log2(max(n, 2)))) + 4, 1)))
     shift = 32 - bits
     tops = (hash_sorted >> np.uint32(shift)).astype(np.int64)
     bucket_lo = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)

@@ -158,6 +158,30 @@ def soc_collect(
     ).transpose(1, 0, 2)
     cand_all = jax.lax.optimization_barrier(cand_all)
 
+    import os as _os
+
+    _soc_mode = _os.environ.get("MA_TPU_SOC", "auto")
+    use_pallas_sweep = _soc_mode == "pallas" or (
+        _soc_mode == "auto" and jax.devices()[0].platform not in ("cpu",)
+    )
+    if use_pallas_sweep:
+        # VMEM-resident monotonic-stack sweep (ops/soc_pallas.py); the XLA
+        # while_loop below is the reference implementation and CPU path
+        from ma_tpu.ops.soc_pallas import soc_sweep_pallas
+
+        st_f, sp_f, over_f = soc_sweep_pallas(
+            cand_all, n, min_score, K=max_socs
+        )
+        n_socs = sp_f
+        soc_valid = jnp.arange(max_socs)[None, :] < n_socs[:, None]
+        soc_start, soc_end = st_f[:, :, 0], st_f[:, :, 1]
+        soc_len, soc_amb = st_f[:, :, 2], st_f[:, :, 3]
+        overflow = seeds.overflow | over_f
+        return _soc_finish(
+            sd, n, soc_start, soc_end, soc_len, soc_amb, soc_valid, n_socs,
+            overflow, rectangular, S,
+        )
+
     # ---- 5. push_back_no_overlap (soc.h:362-404) as a candidate-synchronized
     # sweep: the outer loop walks a SCALAR candidate index i (all lanes in
     # lockstep — per-candidate values are contiguous slices of cand_all), and
@@ -260,7 +284,16 @@ def soc_collect(
     soc_start, soc_end = st_f[:, :, 0], st_f[:, :, 1]
     soc_len, soc_amb = st_f[:, :, 2], st_f[:, :, 3]
     overflow = seeds.overflow | over_f
+    return _soc_finish(
+        sd, n, soc_start, soc_end, soc_len, soc_amb, soc_valid, n_socs,
+        overflow, rectangular, S,
+    )
 
+
+def _soc_finish(sd, n, soc_start, soc_end, soc_len, soc_amb, soc_valid,
+                n_socs, overflow, rectangular, S):
+    """Rectangular re-collection + heap ordering (shared tail of both
+    sweep implementations)."""
     # ---- 6. rectangular re-collection (soc.h rectangularSoC:200-233)
     if rectangular:
         from ma_tpu.ops.sortops import searchsorted_rows, sel_minor
