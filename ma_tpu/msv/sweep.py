@@ -165,15 +165,45 @@ def _finalize(c: _Cluster, min_reads: int) -> Optional[SvCall]:
     )
 
 
+def _independent_sections(jumps: Sequence[SvJump]) -> List[List[SvJump]]:
+    """Partition jumps into x-independent groups with numpy.
+
+    The sweep's active set empties exactly where the next from_start lies
+    strictly beyond the running max from_end, so cutting there decomposes
+    the clustering EXACTLY (the genome-section work units of
+    sweepSvJumps.h GenomeSectionFactory:23-75, minus the overlap/dedup
+    rules — these cuts cannot split a cluster). Partitioning is O(n log n)
+    numpy; the per-object sweep then only ever sees small groups."""
+    starts = np.fromiter((j.from_start() for j in jumps), np.int64, len(jumps))
+    ends = np.fromiter((j.from_end() for j in jumps), np.int64, len(jumps))
+    order = np.argsort(starts, kind="stable")
+    s = starts[order]
+    e = np.maximum.accumulate(ends[order])
+    brk = np.flatnonzero(s[1:] > e[:-1]) + 1
+    bounds = np.concatenate(([0], brk, [len(jumps)]))
+    return [
+        [jumps[k] for k in order[bounds[i] : bounds[i + 1]]]
+        for i in range(len(bounds) - 1)
+    ]
+
+
 def sweep_jumps(jumps: Sequence[SvJump], min_reads: int = 2) -> List[SvCall]:
     """Full clustering: coarse sweep -> exact re-sweep per coarse cluster ->
-    per-read dedup + breakpoint re-estimation -> min-support filter."""
+    per-read dedup + breakpoint re-estimation -> min-support filter.
+
+    Large inputs first decompose into x-independent sections (exact;
+    see _independent_sections) so whole-genome jump sets cluster in
+    near-linear time."""
     calls: List[SvCall] = []
-    for coarse in _sweep_fast(jumps):
-        for exact in _sweep_fast(coarse.jumps):
-            call = _finalize(exact, min_reads)
-            if call is not None:
-                calls.append(call)
+    groups = (
+        _independent_sections(jumps) if len(jumps) > 512 else [list(jumps)]
+    )
+    for group in groups:
+        for coarse in _sweep_fast(group):
+            for exact in _sweep_fast(coarse.jumps):
+                call = _finalize(exact, min_reads)
+                if call is not None:
+                    calls.append(call)
     calls.sort(key=lambda c: (c.from_pos, c.to_pos))
     return calls
 
