@@ -274,6 +274,12 @@ def run_sv_calling(
     calls_to_tsv(calls, out)
     render_html(out + ".html", jumps, calls,
                 genome_len=pack.unpacked_size_forward_strand)
+    from ma_tpu.msv.html_view import render_interactive_html
+
+    render_interactive_html(
+        out + ".view.html", jumps, calls,
+        genome_len=pack.unpacked_size_forward_strand,
+    )
     print(
         f"done. {len(reads)} reads -> {len(jumps)} jumps -> {len(calls)} "
         f"calls in {time.perf_counter() - t0:.1f}s -> {out}",

@@ -63,6 +63,7 @@ def render_interactive_html(
             "q": [int(j.query_from), int(j.query_to)],
             "nt": int(j.num_supporting_nt), "read": int(j.read_id),
             "ff": bool(j.from_forward), "tf": bool(j.to_forward),
+            "id": int(j.id),
         }
         for j in list(jumps)[:max_points]
         if j.from_pos != DUMMY_LOCATION and j.to_pos != DUMMY_LOCATION
@@ -233,6 +234,39 @@ function inspect(c) {{
     `${{c.nt}} nt<br>ambiguity: ${{c.amb}}<br>` +
     (c.ins ? `inserted: <b>${{c.ins}}</b><br>` : '') +
     `jumps: ${{c.jumps.join(', ') || '-'}}`;
+  // linked per-read dot-plot (the bokeh seed-plot role): each supporting
+  // jump drawn as its query span vs its two reference breakends
+  const js = D.jumps.filter(j => c.jumps.includes(j.id));
+  if (!js.length) return;
+  const SW = 260, SP = 30;
+  const rlo = Math.min(...js.map(j => Math.min(j.x, j.y)));
+  const rhi = Math.max(...js.map(j => Math.max(j.x, j.y)));
+  const qhi = Math.max(...js.map(j => j.q[1])) || 1;
+  const rs = v => SP + (v - rlo) / Math.max(rhi - rlo, 1) * (SW - 2 * SP);
+  const qs = v => SW - SP - v / qhi * (SW - 2 * SP);
+  const mini = el('svg', {{width: SW, height: SW, style:
+    'border:1px solid var(--grid); margin-top:8px; display:block'}});
+  const reads = [...new Set(js.map(j => j.read))];
+  for (const j of js) {{
+    const hue = reads.indexOf(j.read) % 3 + 1;
+    const ln = el('path', {{d:
+      `M${{rs(j.x)}},${{qs(j.q[0])}} L${{rs(j.y)}},${{qs(j.q[1])}}`,
+      stroke: `var(--series-${{hue}})`, 'stroke-width': 1.5, fill: 'none'}});
+    ln.addEventListener('mousemove', ev => tooltip(ev,
+      `read ${{j.read}}: q[${{j.q[0]}},${{j.q[1]}}) ref ` +
+      `${{fmt(j.x)}} -> ${{fmt(j.y)}}`));
+    ln.addEventListener('mouseleave', hide);
+    mini.appendChild(ln);
+    for (const [rp, qp] of [[j.x, j.q[0]], [j.y, j.q[1]]])
+      mini.appendChild(el('circle', {{cx: rs(rp), cy: qs(qp), r: 3,
+        fill: `var(--series-${{hue}})`}}));
+  }}
+  const cap = el('text', {{x: SW / 2, y: 12, 'font-size': 10,
+    'text-anchor': 'middle', fill: 'var(--text-secondary)'}});
+  cap.textContent =
+    `supporting jumps: ref ${{fmt(rlo)}}-${{fmt(rhi)}} (x) vs query (y)`;
+  mini.appendChild(cap);
+  panel.appendChild(mini);
 }}
 svg.addEventListener('wheel', ev => {{
   ev.preventDefault();
