@@ -1,5 +1,9 @@
 """DP kernel speed-of-light check: GCUPS for the banded extension kernel
-(BASELINE.md target "DP kernel GCUPS/chip"). Run standalone on a chip."""
+(BASELINE.md target "DP kernel GCUPS/chip"; VERDICT r2 item #4).
+
+Measures both the XLA anti-diagonal scan (the round-1 kernel) and the
+fused Pallas kernel (ops/dp_fused.py: forward + in-kernel traceback,
+CIGAR runs out) on the same workload. Run standalone on a chip."""
 import time
 
 import numpy as np
@@ -10,30 +14,56 @@ import ma_tpu
 
 ma_tpu.enable_compilation_cache()
 from ma_tpu.ops.dp import DPParams, banded_align
+from ma_tpu.ops.dp_fused import banded_align_runs
+
+
+def _mutate(rng, t, q, qlen):
+    # target = query + mutations so tracebacks are realistic
+    for p in range(q.shape[0]):
+        seg = q[p, : qlen].copy()
+        idx = rng.random(qlen) < 0.05
+        seg[idx] = (seg[idx] + 1) % 4
+        t[p, : qlen] = seg
+    return t
 
 
 def main():
     rng = np.random.default_rng(0)
     P, M, N = 512, 256, 1024
-    q = jnp.asarray(rng.integers(0, 4, (P, M)), jnp.uint8)
-    t = jnp.asarray(rng.integers(0, 4, (P, N)), jnp.uint8)
+    q = rng.integers(0, 4, (P, M)).astype(np.uint8)
+    t = _mutate(rng, rng.integers(0, 4, (P, N)).astype(np.uint8), q, M)
+    qd, td = jnp.asarray(q), jnp.asarray(t)
     qlen = jnp.full(P, M, jnp.int32)
     tlen = jnp.full(P, N, jnp.int32)
     band = jnp.full(P, 512, jnp.int32)
-
-    res = banded_align(q, t, qlen, tlen, band, DPParams(), zdrop=-1,
-                       is_global=True)
-    jax.block_until_ready(res)
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        res = banded_align(q, t, qlen, tlen, band, DPParams(), zdrop=-1,
-                           is_global=True)
-        jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / reps
     cells = P * M * N
-    print(f"platform={jax.devices()[0].platform} P={P} M={M} N={N} "
-          f"wall={dt*1e3:.1f} ms -> {cells/dt/1e9:.1f} GCUPS")
+    reps = 5
+
+    def bench(fn, label):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{label}: wall={dt*1e3:7.1f} ms -> {cells/dt/1e9:7.1f} GCUPS",
+              flush=True)
+        return cells / dt / 1e9
+
+    print(f"platform={jax.devices()[0].platform} P={P} M={M} N={N}")
+    g_scan = bench(
+        lambda: banded_align(qd, td, qlen, tlen, band, DPParams(), -1, True),
+        "xla anti-diagonal scan (score+dirs) ",
+    )
+    g_fused = bench(
+        lambda: banded_align_runs(
+            qd, td, qlen, tlen, band, M=M, N=N, params=DPParams(), zdrop=-1,
+            is_global=True,
+        ),
+        "fused pallas fwd+traceback (runs out)",
+    )
+    print(f"fused/scan speedup: {g_fused / g_scan:.1f}x")
 
 
 if __name__ == "__main__":

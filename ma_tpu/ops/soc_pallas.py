@@ -76,10 +76,10 @@ def _soc_sweep_kernel(cand_ref, misc_ref, stack_ref, sp_over_ref, *,
 
             act = ~done
             overlap = act & (sp > 0) & (top_end > c_start)
-            # SoCOrder::operator< (soc.h:71-76)
-            back_lower = jnp.where(
-                top_len == c_len, top_amb > c_amb, top_len < c_len
-            )
+            # SoCOrder::operator< (soc.h:71-76); boolean algebra instead of
+            # a bool-valued select (select_n on i1 does not lower in Mosaic)
+            eq = top_len == c_len
+            back_lower = (eq & (top_amb > c_amb)) | (~eq & (top_len < c_len))
             case_a = overlap & back_lower
             a_len = c_pexs - top_pexs
             a_amb = c_aexs - top_aexs
