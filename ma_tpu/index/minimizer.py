@@ -120,16 +120,31 @@ class MinimizerIndexDev:
     bucket_lo: jax.Array  # int32 [2^bits + 1] — first row with hash>>shift >= t
     shift: int = 16
     steps: int = 8
+    # unique-hash lookup tables (to_device builds them; the sharded path
+    # leaves them None and uses the two-sided search): ONE binary search
+    # over the deduplicated hashes replaces the left+right pair, and the
+    # occurrence range comes from uoff — every search step saves a [B, L]
+    # HBM gather, the dominant cost of the lookup on TPU
+    hu: jax.Array | None = None  # uint32 [U] unique hashes
+    uoff: jax.Array | None = None  # int32 [U+1] first row of each unique hash
+    # packed (pos << 1 | strand) when the genome is small enough: halves
+    # the final [B, max_seeds] row gathers
+    posst: jax.Array | None = None
 
     def tree_flatten(self):
         return (
-            (self.hash_sorted, self.pos, self.strand, self.bucket_lo),
+            (self.hash_sorted, self.pos, self.strand, self.bucket_lo,
+             self.hu, self.uoff, self.posst),
             (self.shift, self.steps),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, shift=aux[0], steps=aux[1])
+        hs, pos, strand, bucket_lo, hu, uoff, posst = children
+        return cls(
+            hash_sorted=hs, pos=pos, strand=strand, bucket_lo=bucket_lo,
+            shift=aux[0], steps=aux[1], hu=hu, uoff=uoff, posst=posst,
+        )
 
 
 def build_bucket_table(hash_sorted: np.ndarray, target_bits: int = 24):
@@ -154,6 +169,25 @@ def bucketed_searchsorted(idx: "MinimizerIndexDev", h: jax.Array):
     t = (h >> jnp.uint32(idx.shift)).astype(jnp.int32)
     lo = idx.bucket_lo[t]
     hi = idx.bucket_lo[t + 1]
+    if idx.hu is not None:
+        # single-sided search over the unique hashes, then the occurrence
+        # range from uoff (half the search gathers of the two-sided form)
+        U = idx.hu.shape[0]
+        l_lo, l_hi = lo, hi
+        for _ in range(idx.steps):
+            active = l_lo < l_hi
+            mid = (l_lo + l_hi) >> 1
+            v = idx.hu[jnp.clip(mid, 0, max(U - 1, 0))]
+            go = active & (v < h)
+            l_lo = jnp.where(go, mid + 1, l_lo)
+            l_hi = jnp.where(active & ~go, mid, l_hi)
+        i = jnp.clip(l_lo, 0, max(U - 1, 0))
+        found = (l_lo < hi) & (idx.hu[i] == h) if U else jnp.zeros_like(l_lo, bool)
+        row_lo = idx.uoff[i]
+        row_hi = idx.uoff[jnp.minimum(i + 1, U)]
+        row_lo = jnp.where(found, row_lo, 0)
+        row_hi = jnp.where(found, row_hi, 0)
+        return row_lo, row_hi
     n = idx.hash_sorted.shape[0]
     l_lo, l_hi = lo, hi  # bounds for the LEFT insertion point
     r_lo, r_hi = lo, hi  # bounds for the RIGHT insertion point
@@ -205,14 +239,36 @@ class MinimizerIndex:
         return cls(k=k, w=w, hash_sorted=h[order], pos=p[order], strand=s[order])
 
     def to_device(self) -> MinimizerIndexDev:
-        bucket_lo, shift, steps = build_bucket_table(self.hash_sorted)
+        # deduplicate: the device search runs over unique hashes, occurrence
+        # ranges come from uoff (see MinimizerIndexDev docstring)
+        n = len(self.hash_sorted)
+        if n:
+            new = np.empty(n, bool)
+            new[0] = True
+            np.not_equal(self.hash_sorted[1:], self.hash_sorted[:-1], out=new[1:])
+            hu = self.hash_sorted[new]
+            uoff = np.append(np.flatnonzero(new).astype(np.int32), np.int32(n))
+        else:
+            hu = np.zeros(0, UINT32)
+            uoff = np.zeros(1, np.int32)
+        bucket_lo, shift, steps = build_bucket_table(hu)
+        posst = None
+        if n == 0 or int(self.pos.max()) < (1 << 30):
+            posst = jnp.asarray(
+                (self.pos.astype(np.int64) << 1 | self.strand).astype(np.int32)
+            )
+        # hash_sorted is unused by the unique-hash lookup, and pos/strand are
+        # unused when posst packs both — don't ship dead copies to HBM
         return MinimizerIndexDev(
-            hash_sorted=jnp.asarray(self.hash_sorted),
-            pos=jnp.asarray(self.pos),
-            strand=jnp.asarray(self.strand),
+            hash_sorted=None,
+            pos=None if posst is not None else jnp.asarray(self.pos),
+            strand=None if posst is not None else jnp.asarray(self.strand),
             bucket_lo=jnp.asarray(bucket_lo),
             shift=shift,
             steps=steps,
+            hu=jnp.asarray(hu),
+            uoff=jnp.asarray(uoff),
+            posst=posst,
         )
 
     # ------------------------------------------------------------------- I/O
@@ -295,13 +351,18 @@ def minimizer_seeding(
     j = kk - cum_ex_at
     valid = kk < total[:, None]
 
-    n_idx = idx.pos.shape[0]
+    n_idx = (idx.posst if idx.posst is not None else idx.pos).shape[0]
     rows = jnp.clip(lo_at + j, 0, max(n_idx - 1, 0))
     if n_idx == 0:
         valid = valid & False
         rows = jnp.zeros_like(rows)
-    rpos = idx.pos[rows]  # global last-base position
-    rstrand = idx.strand[rows]
+    if idx.posst is not None:
+        ps = idx.posst[rows]
+        rpos = ps >> 1  # global last-base position
+        rstrand = ps & 1
+    else:
+        rpos = idx.pos[rows]
+        rstrand = idx.strand[rows]
     same = rstrand == qstrand  # forward-strand match
 
     # Our SeedBatch convention keeps PLAIN read coordinates on both strands

@@ -159,6 +159,44 @@ def _fit_guide_line(q, l, r, valid, n_cand: int = 8):
     return angle, rstart, mad
 
 
+def _window_extract(planes: jax.Array, starts: jax.Array, M: int) -> jax.Array:
+    """Extract K windows of M consecutive elements per row without a gather.
+
+    planes [P, B, S] (S a power of two), starts [B, K] in [0, S-1] ->
+    [P, B, K, M]: each read row is rolled left by its window start with
+    log2(S) masked STATIC shifts (a barrel shifter), shrinking the live
+    width once the remaining shift bound allows. The flat 1-D gather this
+    replaces costs ~85 ms at [4096, 8, 64] on TPU vs ~11 ms for the shifts
+    (profiling/profile_gather_tricks.py) — TPU gathers from HBM are
+    per-element loads; masked selects of statically-shifted copies are pure
+    vector work.
+    """
+    P, B, S = planes.shape
+    K = starts.shape[1]
+    assert S & (S - 1) == 0, "S must be a power of two"
+    outs = []
+    for k in range(K):
+        st = starts[:, k]
+        cur = planes
+        width = S
+        for bit in reversed(range(int(math.log2(S)))):
+            sh = 1 << bit
+            if sh >= width:
+                continue
+            shifted = jnp.concatenate(
+                [cur[..., sh:], jnp.zeros((P, B, sh), cur.dtype)], axis=-1
+            )
+            on = (st & sh) != 0
+            cur = jnp.where(on[None, :, None], shifted, cur)
+            # remaining shift < sh: columns past M + sh - 1 are dead
+            need = M + sh - 1
+            if need < width:
+                width = need
+                cur = cur[..., :width]
+        outs.append(cur[..., :M])
+    return jnp.stack(outs, axis=2)  # [P, B, K, M]
+
+
 def _use_sweep_pallas() -> bool:
     """Pallas sweep on accelerators; XLA scan on CPU (and under tests)."""
     import os
@@ -424,22 +462,26 @@ def harmonization(
     M = seeds_per_soc
     sd = soc.seeds
 
-    # ---- gather SoC windows to [B, K, M] (flat 1-D gather: the 2-D batched
-    # gather form lowers much worse on TPU)
+    # ---- extract SoC windows to [B, K, M] via the barrel shifter
+    # (_window_extract): strand folds into ref's sign and validity into a
+    # zeroed length, so only 3 planes ride the shifts
     S_seeds = sd.q_start.shape[1]
     offs = jnp.arange(M)[None, None, :]
     idx = soc.start[:, :K, None] + offs
     in_win = (idx < soc.end[:, :K, None]) & (
         jnp.arange(K)[None, :, None] < soc.n_socs[:, None, None]
     )
-    idx_c = jnp.clip(idx, 0, S_seeds - 1)
-    flat_idx = (jnp.arange(B)[:, None, None] * S_seeds + idx_c).reshape(-1)
-    g = lambda a: jnp.where(in_win, a.reshape(-1)[flat_idx].reshape(B, K, M), 0)
-    q = g(sd.q_start)
-    l = g(sd.length)
-    ref = g(sd.ref_start)
-    fw = g(sd.on_forward.astype(jnp.int32)).astype(bool)
-    va = in_win & g(sd.valid.astype(jnp.int32)).astype(bool)
+    l_eff = jnp.where(sd.valid, sd.length, 0)
+    ref_signed = jnp.where(sd.on_forward, sd.ref_start, -sd.ref_start - 1)
+    planes = jnp.stack([sd.q_start, l_eff, ref_signed])
+    starts_c = jnp.clip(soc.start[:, :K], 0, S_seeds - 1)
+    win = _window_extract(planes, starts_c, M)
+    va = in_win & (win[1] > 0)
+    q = jnp.where(va, win[0], 0)
+    l = jnp.where(va, win[1], 0)
+    fw = win[2] >= 0
+    ref = jnp.where(va, jnp.where(fw, win[2], -win[2] - 1), 0)
+    fw = fw & va
 
     soc_score = jnp.where(va, l, 0).sum(axis=-1)  # uiCurrSoCScore [B, K]
 

@@ -143,13 +143,40 @@ def _harm_pack_core(harm: HarmBatch):
     the host downloads per-set counts (small) plus only the populated
     prefix (~0.5 MB) and reconstructs per-set slices from the counts."""
     B, G, M = harm.q_start.shape
+    N = B * G * M
+    GM = G * M
     seed_ok = harm.valid & harm.set_valid[:, :, None]
-    flat = seed_ok.reshape(-1)
-    pos = jnp.cumsum(flat) - 1
-    idx = jnp.where(flat, pos, B * G * M)  # drop invalid
-    out = jnp.zeros((3, B * G * M), jnp.int32)
-    for k, plane in enumerate((harm.q_start, harm.length, harm.ref_start)):
-        out = out.at[k, idx].set(plane.reshape(-1), mode="drop")
+    # scatter cost on TPU scales with the UPDATE count, not the real seed
+    # count — so compact each read's valid seeds to a row prefix first (one
+    # cheap minor-axis sort; stability keeps the required (g, m) order) and
+    # scatter only a small fixed width W per read. Rows with more than W
+    # valid seeds (rare) take the full-width branch of the cond.
+    ok2 = seed_ok.reshape(B, GM)
+    col = jnp.broadcast_to(jnp.arange(GM, dtype=jnp.int32)[None, :], (B, GM))
+    key = jnp.where(ok2, col, jnp.int32(GM))
+    _, cq, cl, cr = jax.lax.sort(
+        (key, harm.q_start.reshape(B, GM), harm.length.reshape(B, GM),
+         harm.ref_start.reshape(B, GM)),
+        num_keys=1, is_stable=True,
+    )
+    cnt = ok2.sum(axis=1, dtype=jnp.int32)
+    base = jnp.cumsum(cnt) - cnt  # global CSR offsets in (b, g, m) order
+
+    def _scatter(width):
+        def go(_):
+            w = jnp.arange(width, dtype=jnp.int32)[None, :]
+            dest = jnp.where(w < cnt[:, None], base[:, None] + w, N).reshape(-1)
+            out = jnp.zeros((3, N), jnp.int32)
+            for k, plane in enumerate((cq, cl, cr)):
+                out = out.at[k, dest].set(
+                    plane[:, :width].reshape(-1), mode="drop"
+                )
+            return out
+
+        return go
+
+    W = min(GM, 64)
+    out = jax.lax.cond(jnp.any(cnt > W), _scatter(GM), _scatter(W), None)
     n_seeds = seed_ok.sum(axis=2, dtype=jnp.int32)
     meta = jnp.stack(
         [
