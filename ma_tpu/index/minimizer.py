@@ -18,6 +18,7 @@ hash, window-of-w minimum with ties kept.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -130,20 +131,26 @@ class MinimizerIndexDev:
     # packed (pos << 1 | strand) when the genome is small enough: halves
     # the final [B, max_seeds] row gathers
     posst: jax.Array | None = None
+    # gather-packed companions (multi-column gathers cost the same as
+    # single-column on TPU — profiling/profile_gather_tricks.py): one row
+    # fetch delivers everything the step needs.
+    blo2: jax.Array | None = None  # int32 [2^bits, 2] = (lo, hi) bucket rows
+    vent: jax.Array | None = None  # int32 [U, 3] = (hash, uoff_i, uoff_{i+1})
 
     def tree_flatten(self):
         return (
             (self.hash_sorted, self.pos, self.strand, self.bucket_lo,
-             self.hu, self.uoff, self.posst),
+             self.hu, self.uoff, self.posst, self.blo2, self.vent),
             (self.shift, self.steps),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        hs, pos, strand, bucket_lo, hu, uoff, posst = children
+        hs, pos, strand, bucket_lo, hu, uoff, posst, blo2, vent = children
         return cls(
             hash_sorted=hs, pos=pos, strand=strand, bucket_lo=bucket_lo,
             shift=aux[0], steps=aux[1], hu=hu, uoff=uoff, posst=posst,
+            blo2=blo2, vent=vent,
         )
 
 
@@ -167,6 +174,33 @@ def build_bucket_table(hash_sorted: np.ndarray, target_bits: int = 24):
 def bucketed_searchsorted(idx: "MinimizerIndexDev", h: jax.Array):
     """(lo, hi) occurrence ranges for hash values h (any shape)."""
     t = (h >> jnp.uint32(idx.shift)).astype(jnp.int32)
+    if idx.vent is not None and os.environ.get("MA_TPU_MM_PACKED", "1") == "1":
+        # fully gather-packed form: ONE row fetch per search step. blo2
+        # delivers both bucket bounds at once; each vent row carries
+        # (hash, row_lo, row_hi) so the verify + range read is one gather.
+        bl = idx.blo2[t]
+        l_lo, l_hi = bl[..., 0], bl[..., 1]
+        hi = l_hi
+        U = idx.vent.shape[0]
+        as_u32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+        for _ in range(idx.steps):
+            # search steps stay on the single-column hu array: a packed-row
+            # probe fetches 3x the bytes per step for one useful word
+            active = l_lo < l_hi
+            mid = (l_lo + l_hi) >> 1
+            v = idx.hu[jnp.clip(mid, 0, max(U - 1, 0))]
+            go = active & (v < h)
+            l_lo = jnp.where(go, mid + 1, l_lo)
+            l_hi = jnp.where(active & ~go, mid, l_hi)
+        i = jnp.clip(l_lo, 0, max(U - 1, 0))
+        row = idx.vent[i]
+        if U:
+            found = (l_lo < hi) & (as_u32(row[..., 0]) == h)
+        else:
+            found = jnp.zeros_like(l_lo, bool)
+        row_lo = jnp.where(found, row[..., 1], 0)
+        row_hi = jnp.where(found, row[..., 2], 0)
+        return row_lo, row_hi
     lo = idx.bucket_lo[t]
     hi = idx.bucket_lo[t + 1]
     if idx.hu is not None:
@@ -257,6 +291,15 @@ class MinimizerIndex:
             posst = jnp.asarray(
                 (self.pos.astype(np.int64) << 1 | self.strand).astype(np.int32)
             )
+        # gather-packed companions: bucket bounds as (lo, hi) rows and
+        # (hash, row_lo, row_hi) per unique hash — one multi-column gather
+        # each instead of 2-3 single-column ones (same cost per fetch on
+        # TPU, profiling/profile_gather_tricks.py)
+        blo2 = np.stack([bucket_lo[:-1], bucket_lo[1:]], axis=1).astype(np.int32)
+        vent = np.empty((len(hu), 3), np.int32)
+        vent[:, 0] = hu.view(np.int32)
+        vent[:, 1] = uoff[:-1]
+        vent[:, 2] = uoff[1:]
         # hash_sorted is unused by the unique-hash lookup, and pos/strand are
         # unused when posst packs both — don't ship dead copies to HBM
         return MinimizerIndexDev(
@@ -269,6 +312,8 @@ class MinimizerIndex:
             hu=jnp.asarray(hu),
             uoff=jnp.asarray(uoff),
             posst=posst,
+            blo2=jnp.asarray(blo2),
+            vent=jnp.asarray(vent),
         )
 
     # ------------------------------------------------------------------- I/O
@@ -318,6 +363,28 @@ def minimizer_seeding(
     pos_ok = jnp.arange(L)[None, :] + k <= lens[:, None]
     sel = sel & pos_ok
 
+    # Only ~2L/(w+1) of the L k-mer lanes are selected minimizers. Compact
+    # them to a short [B, Mc] prefix (one cheap sort) BEFORE the hash
+    # search so every search-step gather moves Mc lanes instead of L —
+    # gather traffic is the dominant cost of the lookup on TPU.
+    qpos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    exp = 2 * (L - k + 1) // (w + 1) + 1
+    Mc = 32
+    while Mc < min(4 * exp, L):
+        Mc *= 2
+    if Mc < L:
+        from ma_tpu.ops.sortops import sort_with_payloads as _swp
+
+        colkey = jnp.where(sel, qpos, jnp.int32(L))
+        n_sel = sel.sum(axis=1, dtype=jnp.int32)
+        _, (h, strand_q, qpos, sel) = _swp(
+            [colkey], [h, jnp.asarray(strand_q, jnp.int32), qpos, sel]
+        )
+        h = h[:, :Mc]
+        strand_q = strand_q[:, :Mc]
+        qpos = qpos[:, :Mc]
+        sel = sel[:, :Mc] & (jnp.arange(Mc)[None, :] < n_sel[:, None])
+
     lo, hi = bucketed_searchsorted(idx, h)
     occ = jnp.where(sel, hi - lo, 0)
     occ = jnp.where(occ > max_occ, 0, occ)  # hard occurrence cutoff
@@ -332,22 +399,24 @@ def minimizer_seeding(
     cum = jnp.cumsum(occ, axis=1)
     total = cum[:, -1]
     overflow = total > max_seeds
+    if Mc < L:
+        overflow = overflow | (n_sel > Mc)
     kk = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
     kk_b = jnp.broadcast_to(kk, (B, max_seeds))
 
     shift1 = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
     strand_lane = jnp.asarray(strand_q, jnp.int32)
-    rank, (cum_ex_at,), (lo_at, occ_at, strand_at) = merge_rank(
+    rank, (cum_ex_at,), (lo_at, occ_at, strand_at, qpos_at) = merge_rank(
         cum, kk_b,
         carries=[cum],
-        carries_any=[shift1(lo), shift1(occ), shift1(strand_lane)],
+        carries_any=[shift1(lo), shift1(occ), shift1(strand_lane), shift1(qpos)],
     )
     # rank-1 of a shifted carry is the value AT rank; rank==0 reads column 0
     first = rank == 0
     lo_at = jnp.where(first, lo[:, :1], lo_at)
     occ_at = jnp.where(first, occ[:, :1], occ_at)
     qstrand = jnp.where(first, strand_lane[:, :1], strand_at)
-    pos_of = jnp.minimum(rank, L - 1).astype(jnp.int32)
+    pos_of = jnp.where(first, qpos[:, :1], qpos_at).astype(jnp.int32)
     j = kk - cum_ex_at
     valid = kk < total[:, None]
 

@@ -101,7 +101,11 @@ class DeviceStageConfig:
             mm_k=int(g("Minimizers - k")),
             mm_w=int(g("Minimizers - w")),
             max_segs=_next_pow2(max(64, L // 4)),
-            max_seeds=_next_pow2(max(256, L * 2)),
+            # expected short-read seed count is ~2L/(w+1) minimizers x small
+            # mean occurrence — L slots is already ~7x headroom at L=160
+            # (the SeedBatch overflow flag marks the rare loss); every
+            # downstream sort/gather in the device stage scales with this
+            max_seeds=_next_pow2(max(256, L)),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
             seeds_per_soc=_next_pow2(max(64, L // 4)),
             min_seed_len=int(g("Minimal Seed Length")),
@@ -823,21 +827,25 @@ class Aligner:
     def _quality_phase(self, reads, per_read) -> List[List[Alignment]]:
         """Mapping quality + small inversions (shared by both finish paths)."""
         pset = self.pset
+        match = int(pset.get("Match Score"))
+        max_supp = int(pset.get("Number Supplementary Alignments"))
+        max_ov = float(pset.get("Maximal Supplementary Overlap"))
+        report_n = int(pset.get("Maximal Number of Reported Alignments"))
+        min_score = int(pset.get("Minimal Alignment Score"))
         result = []
-        for b, alns in enumerate(per_read):
-            result.append(
-                mapping_quality(
-                    alns,
-                    len(reads[b]),
-                    match=int(pset.get("Match Score")),
-                    max_supplementary=int(pset.get("Number Supplementary Alignments")),
-                    max_overlap_supplementary=float(
-                        pset.get("Maximal Supplementary Overlap")
-                    ),
-                    report_n=int(pset.get("Maximal Number of Reported Alignments")),
-                    min_score=int(pset.get("Minimal Alignment Score")),
+        with stage_timer(self.profiler, "host mapping quality"):
+            for b, alns in enumerate(per_read):
+                result.append(
+                    mapping_quality(
+                        alns,
+                        len(reads[b]),
+                        match=match,
+                        max_supplementary=max_supp,
+                        max_overlap_supplementary=max_ov,
+                        report_n=report_n,
+                        min_score=min_score,
+                    )
                 )
-            )
         # SmallInversions runs AFTER MappingQuality (export.cpp:100-125) so
         # rescued inversions keep their forced MAPQ of 0
         if bool(pset.get("Detect Small Inversions")):
@@ -899,11 +907,12 @@ class Aligner:
             the pipeline-parallel overlap the reference gets from threads)."""
             B = len(bucket)
             L = _next_pow2(max(len(r) for r in bucket))
-            seqs = np.full((B, L), 4, np.uint8)
-            lens = np.zeros(B, np.int32)
-            for i, r in enumerate(bucket):
-                seqs[i, : len(r)] = r.codes
-                lens[i] = len(r)
+            with stage_timer(self.profiler, "host batch prep"):
+                seqs = np.full((B, L), 4, np.uint8)
+                lens = np.zeros(B, np.int32)
+                for i, r in enumerate(bucket):
+                    seqs[i, : len(r)] = r.codes
+                    lens[i] = len(r)
             with stage_timer(self.profiler, "device seed+soc+harmonize"):
                 harm, _soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
             return bucket, harm, data, meta, seqs_dev, seqs
