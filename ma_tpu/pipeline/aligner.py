@@ -107,7 +107,10 @@ class DeviceStageConfig:
             # downstream sort/gather in the device stage scales with this
             max_seeds=_next_pow2(max(256, L)),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
-            seeds_per_soc=_next_pow2(max(64, L // 4)),
+            # a strip on a short read holds at most the read's seed count
+            # (~2L/(w+1)); the harmonization guide-line/sweep tensors scale
+            # with this, so keep it at the occupancy, not the worst case
+            seeds_per_soc=_next_pow2(max(32, L // 8)),
             min_seed_len=int(g("Minimal Seed Length")),
             min_ambiguity=int(g("Minimal Ambiguity")),
             max_ambiguity=int(g("Maximal Ambiguity")),
