@@ -340,6 +340,13 @@ def run_alignment(
     dt = time.perf_counter() - t0
     print(f"\rdone. {n} reads in {dt:.1f}s ({n / max(dt, 1e-9):.0f} reads/s)",
           file=sys.stderr)
+    if aligner.n_overflow_reads:
+        print(
+            f"warning: {aligner.n_overflow_reads} reads overflowed a "
+            "fixed-shape capacity (seed slots / minimizer lanes / SoC "
+            "window); their alignments may use a truncated seed set",
+            file=sys.stderr,
+        )
     if aligner.profiler is not None:
         aligner.profiler.analyze(out=sys.stderr)
     return 0

@@ -173,6 +173,15 @@ def build_bucket_table(hash_sorted: np.ndarray, target_bits: int = 24):
 
 def bucketed_searchsorted(idx: "MinimizerIndexDev", h: jax.Array):
     """(lo, hi) occurrence ranges for hash values h (any shape)."""
+    # empty index (e.g. every contig shorter than k+w): gathers over the
+    # 0-row hu/vent tables are out-of-range errors — return empty ranges
+    # before any gather (static Python check; ADVICE r3)
+    n_unique = idx.hu.shape[0] if idx.hu is not None else (
+        idx.hash_sorted.shape[0] if idx.hash_sorted is not None else 0
+    )
+    if n_unique == 0:
+        z = jnp.zeros(jnp.shape(h), jnp.int32)
+        return z, z
     t = (h >> jnp.uint32(idx.shift)).astype(jnp.int32)
     if idx.vent is not None and os.environ.get("MA_TPU_MM_PACKED", "1") == "1":
         # fully gather-packed form: ONE row fetch per search step. blo2
@@ -375,8 +384,19 @@ def minimizer_seeding(
     if Mc < L:
         from ma_tpu.ops.sortops import sort_with_payloads as _swp
 
-        colkey = jnp.where(sel, qpos, jnp.int32(L))
         n_sel = sel.sum(axis=1, dtype=jnp.int32)
+        # rows with more selected minimizers than Mc lanes (low-complexity
+        # reads where every k-mer ties) must truncate; ordering those rows
+        # by BIT-REVERSED position keeps an evenly spread subset across the
+        # whole read instead of dropping everything past position ~Mc
+        # (ADVICE r3). Lane order is immaterial downstream (q_start rides
+        # along; SoC re-sorts by delta), so only overflow rows switch keys.
+        bits = max(1, int(L - 1).bit_length())
+        rev = jnp.zeros_like(qpos)
+        for b in range(bits):
+            rev = (rev << 1) | ((qpos >> b) & 1)
+        key_pos = jnp.where((n_sel > Mc)[:, None], rev, qpos)
+        colkey = jnp.where(sel, key_pos, jnp.int32(1 << bits))
         _, (h, strand_q, qpos, sel) = _swp(
             [colkey], [h, jnp.asarray(strand_q, jnp.int32), qpos, sel]
         )
@@ -422,10 +442,12 @@ def minimizer_seeding(
 
     n_idx = (idx.posst if idx.posst is not None else idx.pos).shape[0]
     rows = jnp.clip(lo_at + j, 0, max(n_idx - 1, 0))
-    if n_idx == 0:
+    if n_idx == 0:  # empty index: no gatherable rows at all
         valid = valid & False
         rows = jnp.zeros_like(rows)
-    if idx.posst is not None:
+        rpos = jnp.zeros_like(rows)
+        rstrand = jnp.zeros_like(rows)
+    elif idx.posst is not None:
         ps = idx.posst[rows]
         rpos = ps >> 1  # global last-base position
         rstrand = ps & 1

@@ -107,10 +107,11 @@ class DeviceStageConfig:
             # downstream sort/gather in the device stage scales with this
             max_seeds=_next_pow2(max(256, L)),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
-            # a strip on a short read holds at most the read's seed count
-            # (~2L/(w+1)); the harmonization guide-line/sweep tensors scale
-            # with this, so keep it at the occupancy, not the worst case
-            seeds_per_soc=_next_pow2(max(32, L // 8)),
+            # a strip on a short read usually holds ~2L/(w+1) seeds, but
+            # multi-occurrence minimizers on tandem repeats push windows to
+            # >32 at L=160 (ADVICE r3 measured 63); keep 64 minimum, and
+            # _batch_overflow flags any read whose window still exceeds it
+            seeds_per_soc=_next_pow2(max(64, L // 8), lo=64),
             min_seed_len=int(g("Minimal Seed Length")),
             min_ambiguity=int(g("Minimal Ambiguity")),
             max_ambiguity=int(g("Maximal Ambiguity")),
@@ -141,7 +142,7 @@ class DeviceStageConfig:
         )
 
 
-def _harm_pack_core(harm: HarmBatch):
+def _harm_pack_core(harm: HarmBatch, overflow=None):
     """Device-side CSR compaction of a HarmBatch for the host transfer.
 
     The tunnel moves ~30 MB/s, so the raw [B, G, M] seed planes (~26 MB per
@@ -185,11 +186,22 @@ def _harm_pack_core(harm: HarmBatch):
     W = min(GM, 64)
     out = jax.lax.cond(jnp.any(cnt > W), _scatter(GM), _scatter(W), None)
     n_seeds = seed_ok.sum(axis=2, dtype=jnp.int32)
+    if overflow is None:
+        overflow = jnp.zeros((B,), bool)
+    # int16 halves the d2h bytes (every field fits: set_valid/overflow are
+    # 0/1, soc_of < max_socs, n_seeds <= seeds_per_soc <= 2048)
     meta = jnp.stack(
         [
-            harm.set_valid.astype(jnp.int32).reshape(B * G),
-            harm.soc_of.reshape(B * G),
-            n_seeds.reshape(B * G),
+            harm.set_valid.astype(jnp.int16).reshape(B * G),
+            harm.soc_of.astype(jnp.int16).reshape(B * G),
+            n_seeds.astype(jnp.int16).reshape(B * G),
+            # row 3: per-read capacity-overflow flag (seed slots, minimizer
+            # lanes, or a SoC window wider than seeds_per_soc) broadcast
+            # over the set axis — the host counts these so fixed-shape
+            # truncation is observable (ADVICE r3)
+            jnp.broadcast_to(
+                overflow.astype(jnp.int16)[:, None], (B, G)
+            ).reshape(B * G),
         ]
     )
     return out, meta
@@ -199,6 +211,17 @@ def _harm_pack_core(harm: HarmBatch):
 # packed form, e.g. from a custom device stage)
 _harm_pack = jax.jit(_harm_pack_core)
 
+
+
+def _batch_overflow(cfg, soc):
+    """Per-read overflow flag: any upstream fixed-shape overflow (seed
+    slots / minimizer lanes, SoCBatch.overflow) OR a selected SoC window
+    wider than seeds_per_soc — harmonization's window extract truncates
+    such windows silently otherwise (ADVICE r3: repetitive reads)."""
+    K = min(cfg.max_socs_harm, soc.start.shape[1])
+    sel = jnp.arange(K)[None, :] < jnp.minimum(soc.n_socs, K)[:, None]
+    wide = sel & ((soc.end[:, :K] - soc.start[:, :K]) > cfg.seeds_per_soc)
+    return soc.overflow | wide.any(axis=1)
 
 def _soc_min_score(cfg, lens, genome_text_len):
     """SoC give-up threshold fMinLen (stripOfConsideration.cpp:21-23):
@@ -266,7 +289,7 @@ def device_stage_from_seeds(
         n_cand=cfg.n_cand,
     )
     ch = compact_harm(harm, cfg.max_out_sets)
-    data, meta = _harm_pack_core(ch)
+    data, meta = _harm_pack_core(ch, _batch_overflow(cfg, soc))
     return ch, soc, data, meta
 
 
@@ -332,7 +355,7 @@ def device_stage_mm(
         n_cand=cfg.n_cand,
     )
     ch = compact_harm(harm, cfg.max_out_sets)
-    data, meta = _harm_pack_core(ch)
+    data, meta = _harm_pack_core(ch, _batch_overflow(cfg, soc))
     return ch, soc, data, meta
 
 
@@ -397,7 +420,7 @@ def device_stage(
         n_cand=cfg.n_cand,
     )
     ch = compact_harm(harm, cfg.max_out_sets)
-    data, meta = _harm_pack_core(ch)
+    data, meta = _harm_pack_core(ch, _batch_overflow(cfg, soc))
     return ch, soc, data, meta
 
 
@@ -427,6 +450,10 @@ class Aligner:
         self._index_prefix = index_prefix
         self.profiler: AnalyzeRuntimes | None = None
         self._text_dev = None
+        # reads whose fixed-shape capacities truncated work this run (seed
+        # slots, minimizer lanes, or SoC windows > seeds_per_soc) — the
+        # overflow consumer ADVICE r3 asked for; surfaced by the CLI
+        self.n_overflow_reads = 0
 
     @property
     def text_dev(self):
@@ -507,11 +534,16 @@ class Aligner:
         return self._mmi_dev
 
     # ----------------------------------------------------------------- device
+    DATA_HEAD_CAP = 8192  # packed-seed prefix shipped eagerly per batch
+
     def run_device_stage(self, seqs: np.ndarray, lens: np.ndarray):
         """Run the jitted device stage on a [B, L] batch of codes.
 
         Returns (harm, soc, packed_data, packed_meta, seqs_dev) — seqs_dev is
-        the uploaded read batch, kept for descriptor-mode DP (ops/dp.py)."""
+        the uploaded read batch, kept for descriptor-mode DP (ops/dp.py).
+        The packed meta + a fixed-cap prefix of the packed data start their
+        device->host copies immediately (copy_to_host_async), so the tunnel
+        transfer overlaps the host work between dispatch and plan_batch."""
         cfg = DeviceStageConfig.from_params(self.pset, seqs.shape[1])
         seqs_j = jnp.asarray(seqs)
         lens_j = jnp.asarray(lens, jnp.int32)
@@ -520,24 +552,31 @@ class Aligner:
                 cfg, self.mmi_dev(cfg), self.contig_starts,
                 self.pack.unpacked_size_forward_strand, seqs_j, lens_j,
             )
-            return (*out, seqs_j)
-        if cfg.seeding_technique == "MEMs":
+        elif cfg.seeding_technique == "MEMs":
             out = device_stage_from_seeds(
                 cfg, self.contig_starts,
                 self.pack.unpacked_size_forward_strand,
                 self._mem_seed_batch(seqs, lens, cfg), lens_j,
             )
-            return (*out, seqs_j)
-        if self.sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+        else:
+            if self.sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-            batch_axis = self.sharding.spec[0]
-            seqs_j = jax.device_put(seqs_j, self.sharding)
-            lens_j = jax.device_put(
-                lens_j, NamedSharding(self.sharding.mesh, PartitionSpec(batch_axis))
-            )
-        out = device_stage(cfg, self.dev, self.contig_starts, seqs_j, lens_j)
-        return (*out, seqs_j)
+                batch_axis = self.sharding.spec[0]
+                seqs_j = jax.device_put(seqs_j, self.sharding)
+                lens_j = jax.device_put(
+                    lens_j,
+                    NamedSharding(self.sharding.mesh, PartitionSpec(batch_axis)),
+                )
+            out = device_stage(cfg, self.dev, self.contig_starts, seqs_j, lens_j)
+        harm, soc, data, meta = out
+        data_head = data[:, : min(self.DATA_HEAD_CAP, data.shape[1])]
+        for arr in (meta, data_head):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        return (harm, soc, data, meta, data_head, seqs_j)
 
     # ------------------------------------------------------------------- host
     def align_batch(self, reads: Sequence[NucSeq]) -> List[List[Alignment]]:
@@ -552,13 +591,15 @@ class Aligner:
             seqs[i, : len(r)] = r.codes
             lens[i] = len(r)
         with stage_timer(self.profiler, "device seed+soc+harmonize"):
-            harm, soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
+            harm, soc, data, meta, data_head, seqs_dev = self.run_device_stage(
+                seqs, lens
+            )
             jax.block_until_ready(meta)
-        return self.finish_batch(reads, harm, data, meta, seqs_dev, seqs)
+        return self.finish_batch(reads, harm, data, meta, seqs_dev, seqs, data_head)
 
     def plan_batch(
         self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None,
-        seqs_dev=None, seqs_np=None,
+        seqs_dev=None, seqs_np=None, data_head=None,
     ):
         """First host half: wait for the device stage's packed output, plan
         DP problems and DISPATCH them (async). Returns an opaque pending
@@ -575,16 +616,25 @@ class Aligner:
             meta = np.asarray(meta_d)
             B, G, M = harm.q_start.shape
             hsv = meta[0].reshape(B, G).astype(bool)
-            hsoc = meta[1].reshape(B, G)
-            hn = meta[2].reshape(B, G)
+            hsoc = meta[1].reshape(B, G).astype(np.int32)
+            hn = meta[2].reshape(B, G).astype(np.int32)
+            if meta.shape[0] > 3:  # overflow consumer (ADVICE r3)
+                self.n_overflow_reads += int(
+                    meta[3].reshape(B, G)[:, 0].astype(bool).sum()
+                )
             total = int(hn.sum())
-            # download only the populated prefix, rounded to a small fixed
-            # set of widths (every distinct shape is a compiled program)
-            cap = 4096
-            while cap < total:
-                cap *= 2
-            cap = min(cap, data_d.shape[1])
-            hqlr = np.asarray(data_d[:, :cap])
+            if data_head is not None and total <= data_head.shape[1]:
+                # common case: the fixed-cap prefix whose d2h copy was
+                # started at dispatch already holds every packed seed
+                hqlr = np.asarray(data_head)
+            else:
+                # download only the populated prefix, rounded to a small
+                # fixed set of widths (every distinct shape is a program)
+                cap = 4096
+                while cap < total:
+                    cap *= 2
+                cap = min(cap, data_d.shape[1])
+                hqlr = np.asarray(data_d[:, :cap])
         hq, hl, hr = hqlr[0], hqlr[1], hqlr[2]
         if seqs_np is not None and nw.desc_mode and self._use_native_finish():
             out = self._plan_native(
@@ -704,7 +754,18 @@ class Aligner:
                             zdrop=-1 if is_glob else nw.cfg.zdrop,
                             is_global=is_glob,
                         )
-                        launched.append((rows, is_glob, out))
+                        # download only the populated column prefix (pow2-
+                        # padded: few distinct slice programs) and start the
+                        # d2h copy NOW so it overlaps host work until collect
+                        Kp = 256
+                        while Kp < len(rows):
+                            Kp *= 2
+                        comb_s = out[0][:, : min(Kp, out[0].shape[1])]
+                        try:
+                            comb_s.copy_to_host_async()
+                        except Exception:
+                            pass
+                        launched.append((rows, is_glob, out, comb_s))
         state = (reads, nw, desc, toks, sbr, set_read, set_soc, seqs_np,
                  launched)
         return ("native", state)
@@ -721,17 +782,19 @@ class Aligner:
         with stage_timer(self.profiler, "device banded DP + traceback"):
             # one device_get over every bucket's combined int16 output (a
             # per-batch on-device concat would recompile for each distinct
-            # bucket combination)
+            # bucket combination); the copies were started at dispatch
             if launched:
-                combs_np = jax.device_get([out[0] for (_, _, out) in launched])
+                combs_np = jax.device_get(
+                    [comb_s for (_, _, _, comb_s) in launched]
+                )
                 comb_np = np.concatenate(
                     [np.asarray(c) for c in combs_np], axis=1
                 ).astype(np.int32)
             prob_meta = np.full((max(n_prob, 1), 2), -1, np.int64)
             runs_rows = []
             off = 0
-            for li, (rows, is_glob, out) in enumerate(launched):
-                P = out[0].shape[1]
+            for li, (rows, is_glob, out, comb_s) in enumerate(launched):
+                P = comb_s.shape[1]
                 comb = comb_np[:, off : off + P]
                 off += P
                 K = len(rows)
@@ -773,7 +836,7 @@ class Aligner:
             prob_off = np.zeros(n_prob + 1, np.int64)
             np.cumsum(prob_nr, out=prob_off[1:])
             prob_runs = np.zeros((tot, 2), np.int32)
-            for li, (rows, is_glob, out) in enumerate(launched):
+            for li, (rows, is_glob, out, _comb_s) in enumerate(launched):
                 fwd = fwd_ops[li]
                 if fwd is None:
                     continue
@@ -868,11 +931,12 @@ class Aligner:
 
     def finish_batch(
         self, reads: Sequence[NucSeq], harm: HarmBatch, data_d=None, meta_d=None,
-        seqs_dev=None, seqs_np=None,
+        seqs_dev=None, seqs_np=None, data_head=None,
     ) -> List[List[Alignment]]:
         """Host half: DP fill/extend + assembly + mapping quality."""
         return self.collect_batch(
-            self.plan_batch(reads, harm, data_d, meta_d, seqs_dev, seqs_np)
+            self.plan_batch(reads, harm, data_d, meta_d, seqs_dev, seqs_np,
+                            data_head)
         )
 
     # --------------------------------------------------------------- frontend
@@ -917,14 +981,16 @@ class Aligner:
                     seqs[i, : len(r)] = r.codes
                     lens[i] = len(r)
             with stage_timer(self.profiler, "device seed+soc+harmonize"):
-                harm, _soc, data, meta, seqs_dev = self.run_device_stage(seqs, lens)
-            return bucket, harm, data, meta, seqs_dev, seqs
+                harm, _soc, data, meta, data_head, seqs_dev = (
+                    self.run_device_stage(seqs, lens)
+                )
+            return bucket, harm, data, meta, data_head, seqs_dev, seqs
 
         def plan(pending):
             """Wait for the device stage, plan + DISPATCH this batch's DP."""
-            bucket, harm, data, meta, seqs_dev, seqs = pending
+            bucket, harm, data, meta, data_head, seqs_dev, seqs = pending
             return bucket, self.plan_batch(
-                bucket, harm, data, meta, seqs_dev, seqs
+                bucket, harm, data, meta, seqs_dev, seqs, data_head
             )
 
         def collect(planned):

@@ -16,3 +16,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# The persistent compilation cache intermittently segfaults inside
+# get_executable_and_time after ~150 suite tests (observed jax 0.9.0 on
+# CPU; zstd deserialization of an entry written earlier in the same
+# process). CPU compiles are cheap — run the suite without it. The TPU
+# path (bench, CLI) keeps the cache (ma_tpu.enable_compilation_cache).
+jax.config.update("jax_enable_compilation_cache", False)

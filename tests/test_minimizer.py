@@ -126,3 +126,47 @@ def test_sort_remove_duplicates_and_min_length(setup):
     assert len(set(seeds_list(dd, 0))) == len(seeds_list(dd, 0))
     ml = min_length(seed_lump(sb), 20)
     assert all(l >= 20 for (_, l, _, _) in seeds_list(ml, 0))
+
+
+def test_empty_index_seeding(setup):
+    """An index with zero entries (every contig shorter than k+w) must
+    return an empty SeedBatch instead of raising a gather range error
+    (ADVICE r3: minimizer.py packed path gathered vent/hu unconditionally)."""
+    pack, _, genome = setup
+    tiny = Pack.empty()
+    tiny.append("stub", genome[:10])  # < k + w
+    idx = MinimizerIndex.build(tiny, k=15, w=10)
+    assert len(idx.hash_sorted) == 0
+    sb = minimizer_seeding(
+        idx.to_device(), jnp.asarray(genome[None, :64].astype(np.int32)),
+        jnp.asarray([64], np.int32), jnp.asarray(tiny.starts.astype(np.int32)),
+        tiny.unpacked_size_forward_strand, k=15, w=10,
+    )
+    assert int(sb.n_seeds[0]) == 0
+    assert not bool(sb.valid.any())
+
+
+def test_lane_overflow_spreads_selection():
+    """Low-complexity reads that select more minimizers than compaction
+    lanes keep an evenly spread subset (bit-reversed-position order), not
+    just the first ~Mc positions (ADVICE r3)."""
+    rng = np.random.default_rng(7)
+    # genome with an embedded homopolymer so the read is indexable
+    genome = rng.integers(0, 4, size=50000).astype(np.uint8)
+    genome[20000:20400] = 0  # poly-A block
+    pack = Pack.empty()
+    pack.append("chrH", genome)
+    idx = MinimizerIndex.build(pack, k=15, w=10)
+    # 320bp all-A read: every k-mer ties -> every position selected
+    read = np.zeros(320, np.uint8)
+    sb = minimizer_seeding(
+        idx.to_device(), jnp.asarray(read[None].astype(np.int32)),
+        jnp.asarray([320], np.int32), jnp.asarray(pack.starts.astype(np.int32)),
+        pack.unpacked_size_forward_strand, k=15, w=10, max_occ=1000,
+        max_seeds=2048,
+    )
+    assert bool(sb.overflow[0])  # truncation is flagged
+    qs = np.asarray(sb.q_start[0])[np.asarray(sb.valid[0])]
+    assert len(qs) > 0
+    # selection must cover the read's tail, not just the head
+    assert qs.max() >= 250
