@@ -110,6 +110,11 @@ class SamWriter:
         self.cg_tag = cg_tag
         out.write(sam_header(pack, cmd))
 
+    def write_text(self, text: str) -> None:
+        """Append pre-formatted records (the native samout.cpp fast path
+        emits whole batches as one string)."""
+        self.out.write(text)
+
     def write(self, alignments: Iterable[Alignment], query: NucSeq) -> None:
         alignments = list(alignments)
         for aln in alignments:

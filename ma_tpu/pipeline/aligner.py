@@ -770,7 +770,10 @@ class Aligner:
                  launched)
         return ("native", state)
 
-    def _collect_native(self, state) -> List[List[Alignment]]:
+    def _assemble_native(self, state):
+        """Shared native-collect front half: wait for DP runs, run the C++
+        assembler. Returns (reads, nw, set_read, set_soc, seqs_np, out_op,
+        out_len, out_off, out_meta)."""
         from ma_tpu.ops.dp import RUNS_HEAD
         from ma_tpu.pipeline import finish_native
 
@@ -851,11 +854,70 @@ class Aligner:
                 toks, sbr, set_read, prob_runs, prob_off, prob_meta,
                 self.text_host, seqs_np, nw.cfg.params, nw.cfg.sv_penalty,
             )
+        return (reads, nw, set_read, set_soc, seqs_np, out_op, out_len,
+                out_off, out_meta)
+
+    def _collect_native(self, state) -> List[List[Alignment]]:
+        from ma_tpu.pipeline import finish_native
+
+        (reads, nw, set_read, set_soc, seqs_np, out_op, out_len, out_off,
+         out_meta) = self._assemble_native(state)
+        with stage_timer(self.profiler, "host CIGAR assembly"):
             per_read = finish_native.build_alignments(
                 out_op, out_len, out_off, out_meta, set_read, set_soc, reads,
                 nw.cfg.params, nw.cfg.sv_penalty,
             )
         return self._quality_phase(reads, per_read)
+
+    def native_sam_enabled(self) -> bool:
+        """True when the whole post-DP tail (mapping quality + SAM records)
+        can run in C++ (native/samout.cpp): plain record path only —
+        NGMLR tag emulation and SmallInversions need the object path.
+        MA_TPU_SAM overrides (native|python)."""
+        import os
+
+        mode = os.environ.get("MA_TPU_SAM", "auto")
+        if mode == "python":
+            return False
+        pset = self.pset
+        if bool(pset.get("Emulate NGMLR's tag output")):
+            return False
+        if bool(pset.get("Detect Small Inversions")):
+            return False
+        from ma_tpu.pipeline import finish_native
+
+        if not finish_native.sam_available():
+            return False
+        return True
+
+    def _collect_native_sam(self, state, omit_sec: bool, omit_sup: bool):
+        """Native-tail collect: returns ("sam", bytes, n_recs) on success,
+        or ("objects", per-read alignments) when samout falls back."""
+        from ma_tpu.pipeline import finish_native
+
+        (reads, nw, set_read, set_soc, seqs_np, out_op, out_len, out_off,
+         out_meta) = self._assemble_native(state)
+        pset = self.pset
+        with stage_timer(self.profiler, "host SAM write"):
+            res = finish_native.emit_sam(
+                out_op, out_len, out_off, out_meta, set_read, set_soc,
+                reads, seqs_np, self.pack,
+                match=int(pset.get("Match Score")),
+                max_supplementary=int(pset.get("Number Supplementary Alignments")),
+                max_overlap=float(pset.get("Maximal Supplementary Overlap")),
+                report_n=int(pset.get("Maximal Number of Reported Alignments")),
+                min_score=int(pset.get("Minimal Alignment Score")),
+                soft_clip=bool(pset.get("Soft clip")),
+                use_m=bool(pset.get("Use M in CIGAR")),
+                omit_sec=omit_sec, omit_sup=omit_sup,
+            )
+        if res is not None:
+            return ("sam", res[0], res[1])
+        per_read = finish_native.build_alignments(
+            out_op, out_len, out_off, out_meta, set_read, set_soc, reads,
+            nw.cfg.params, nw.cfg.sv_penalty,
+        )
+        return ("objects", self._quality_phase(reads, per_read))
 
     def _redo_native(self, nw, desc_row, is_glob):
         """Run-buffer-overflow fallback for the native path (rare)."""
@@ -993,10 +1055,30 @@ class Aligner:
                 bucket, harm, data, meta, seqs_dev, seqs, data_head
             )
 
+        sam_native = self.native_sam_enabled()
+
         def collect(planned):
             nonlocal n
             bucket, state = planned
-            results = self.collect_batch(state)
+            if (
+                sam_native
+                and isinstance(state, tuple)
+                and len(state) == 2
+                and state[0] == "native"
+            ):
+                res = self._collect_native_sam(state[1], omit_sec, omit_sup)
+                if res[0] == "sam":
+                    with stage_timer(self.profiler, "host SAM write"):
+                        writer.write_text(res[1].decode("ascii"))
+                        n += len(bucket)
+                    if progress is not None and progress(n) is False:
+                        raise KeyboardInterrupt(
+                            "alignment cancelled by progress callback"
+                        )
+                    return
+                results = res[1]
+            else:
+                results = self.collect_batch(state)
             with stage_timer(self.profiler, "host SAM write"):
                 for read, alns in zip(bucket, results):
                     if omit_sec:

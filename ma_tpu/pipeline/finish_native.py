@@ -27,8 +27,11 @@ _HERE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                      "native")
 _SRC = os.path.join(_HERE, "finish.cpp")
 _SO = os.path.join(_HERE, "_finish.so")
+_SAM_SRC = os.path.join(_HERE, "samout.cpp")
+_SAM_SO = os.path.join(_HERE, "_samout.so")
 _lock = threading.Lock()
 _lib = None
+_sam_lib = None
 
 _OP_CHARS = np.array(["s", "=", "X", "I", "D"])
 
@@ -74,6 +77,108 @@ def available() -> bool:
         return True
     except Exception:
         return False
+
+
+def _load_sam():
+    global _sam_lib
+    with _lock:
+        if _sam_lib is not None:
+            return _sam_lib
+        if not os.path.exists(_SAM_SO) or os.path.getmtime(
+            _SAM_SO
+        ) < os.path.getmtime(_SAM_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o",
+                 _SAM_SO, _SAM_SRC],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SAM_SO)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sam_emit.argtypes = [
+            u8p, i32p, i64p, i64p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int64, u8p, ctypes.c_int64, i32p, u8p, i64p, u8p, i64p,
+            i64p, ctypes.c_int64, ctypes.c_int64, u8p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, u8p, ctypes.c_int64, i64p, i64p,
+        ]
+        lib.sam_emit.restype = ctypes.c_int
+        _sam_lib = lib
+        return lib
+
+
+def sam_available() -> bool:
+    try:
+        _load_sam()
+        return True
+    except Exception:
+        return False
+
+
+def _concat_bytes(strs):
+    offs = np.zeros(len(strs) + 1, np.int64)
+    parts = []
+    for i, s in enumerate(strs):
+        b = s.encode("ascii", "replace") if s else b""
+        parts.append(b)
+        offs[i + 1] = offs[i] + len(b)
+    buf = np.frombuffer(b"".join(parts) + b"\0", np.uint8).copy()
+    return buf, offs
+
+
+def emit_sam(out_op, out_len, out_off, out_meta, set_read, set_soc, reads,
+             seqs_np, pack, match, max_supplementary, max_overlap, report_n,
+             min_score, soft_clip, use_m, omit_sec, omit_sup):
+    """Native mapping-quality + SAM text emission. Returns (bytes, n_recs)
+    or None when the workload needs the Python writer (rc=2)."""
+    lib = _load_sam()
+    n_sets = len(out_meta)
+    n_reads = len(reads)
+    qlen = np.asarray([len(r) for r in reads], np.int32)
+    names, name_off = _concat_bytes([r.name or "" for r in reads])
+    quals, qual_off = _concat_bytes([r.qual or "" for r in reads])
+    ctg_names, ctg_name_off = _concat_bytes(list(pack.names))
+    ctg_starts = np.ascontiguousarray(pack.starts, np.int64)
+    out_op = np.ascontiguousarray(out_op, np.uint8)
+    out_len = np.ascontiguousarray(out_len, np.int32)
+    out_off = np.ascontiguousarray(out_off, np.int64)
+    out_meta = np.ascontiguousarray(out_meta, np.int64)
+    set_read = np.ascontiguousarray(set_read, np.int32)
+    set_soc = np.ascontiguousarray(set_soc, np.int32)
+    seqs_np = np.ascontiguousarray(seqs_np, np.uint8)
+    cap = int(n_sets) * (2 * int(seqs_np.shape[1]) + 96) + 65536
+    for _ in range(3):
+        buf = np.empty(cap, np.uint8)
+        n_bytes = np.zeros(1, np.int64)
+        n_recs = np.zeros(1, np.int64)
+        rc = lib.sam_emit(
+            _p(out_op, ctypes.c_uint8), _p(out_len, ctypes.c_int32),
+            _p(out_off, ctypes.c_int64), _p(out_meta, ctypes.c_int64),
+            _p(set_read, ctypes.c_int32), _p(set_soc, ctypes.c_int32),
+            ctypes.c_int64(n_sets), ctypes.c_int64(n_reads),
+            _p(seqs_np, ctypes.c_uint8), ctypes.c_int64(seqs_np.shape[1]),
+            _p(qlen, ctypes.c_int32), _p(names, ctypes.c_uint8),
+            _p(name_off, ctypes.c_int64), _p(quals, ctypes.c_uint8),
+            _p(qual_off, ctypes.c_int64), _p(ctg_starts, ctypes.c_int64),
+            ctypes.c_int64(pack.num_contigs),
+            ctypes.c_int64(pack.unpacked_size_forward_strand),
+            _p(ctg_names, ctypes.c_uint8), _p(ctg_name_off, ctypes.c_int64),
+            ctypes.c_int64(match), ctypes.c_int64(max_supplementary),
+            ctypes.c_double(max_overlap), ctypes.c_int64(report_n),
+            ctypes.c_int64(min_score), ctypes.c_int64(int(soft_clip)),
+            ctypes.c_int64(int(use_m)), ctypes.c_int64(int(omit_sec)),
+            ctypes.c_int64(int(omit_sup)),
+            _p(buf, ctypes.c_uint8), ctypes.c_int64(cap),
+            _p(n_bytes, ctypes.c_int64), _p(n_recs, ctypes.c_int64),
+        )
+        if rc == 0:
+            return buf[: int(n_bytes[0])].tobytes(), int(n_recs[0])
+        if rc == 2:
+            return None
+        cap = int(n_bytes[0]) + 65536
+    raise RuntimeError("sam_emit: output overflow")
 
 
 def _p(a, ct):
