@@ -136,21 +136,31 @@ class MinimizerIndexDev:
     # fetch delivers everything the step needs.
     blo2: jax.Array | None = None  # int32 [2^bits, 2] = (lo, hi) bucket rows
     vent: jax.Array | None = None  # int32 [U, 3] = (hash, uoff_i, uoff_{i+1})
+    # CHD perfect hash (native/chd.cpp): EXACTLY two gathers per query —
+    # displacement D[h & (m-1)], then one (hash, row_lo, row_hi) table row.
+    # Replaces the whole binary search when present.
+    chd_d: jax.Array | None = None  # int32 [m]
+    chd_table: jax.Array | None = None  # int32 [T, 3]
+    chd_tlog: int = 0
+    chd_mlog: int = 0
 
     def tree_flatten(self):
         return (
             (self.hash_sorted, self.pos, self.strand, self.bucket_lo,
-             self.hu, self.uoff, self.posst, self.blo2, self.vent),
-            (self.shift, self.steps),
+             self.hu, self.uoff, self.posst, self.blo2, self.vent,
+             self.chd_d, self.chd_table),
+            (self.shift, self.steps, self.chd_tlog, self.chd_mlog),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        hs, pos, strand, bucket_lo, hu, uoff, posst, blo2, vent = children
+        (hs, pos, strand, bucket_lo, hu, uoff, posst, blo2, vent,
+         chd_d, chd_table) = children
         return cls(
             hash_sorted=hs, pos=pos, strand=strand, bucket_lo=bucket_lo,
             shift=aux[0], steps=aux[1], hu=hu, uoff=uoff, posst=posst,
-            blo2=blo2, vent=vent,
+            blo2=blo2, vent=vent, chd_d=chd_d, chd_table=chd_table,
+            chd_tlog=aux[2], chd_mlog=aux[3],
         )
 
 
@@ -176,12 +186,29 @@ def bucketed_searchsorted(idx: "MinimizerIndexDev", h: jax.Array):
     # empty index (e.g. every contig shorter than k+w): gathers over the
     # 0-row hu/vent tables are out-of-range errors — return empty ranges
     # before any gather (static Python check; ADVICE r3)
-    n_unique = idx.hu.shape[0] if idx.hu is not None else (
-        idx.hash_sorted.shape[0] if idx.hash_sorted is not None else 0
-    )
+    if idx.chd_table is not None:
+        n_unique = 1  # chd.build returns None for empty inputs
+    elif idx.hu is not None:
+        n_unique = idx.hu.shape[0]
+    else:
+        n_unique = idx.hash_sorted.shape[0] if idx.hash_sorted is not None else 0
     if n_unique == 0:
         z = jnp.zeros(jnp.shape(h), jnp.int32)
         return z, z
+    if idx.chd_table is not None and os.environ.get("MA_TPU_MM_CHD", "1") == "1":
+        # CHD perfect hash: two gathers total (native/chd.cpp builds it)
+        from ma_tpu.native.chd import C1, C2
+
+        b = (h & jnp.uint32((1 << idx.chd_mlog) - 1)).astype(jnp.int32)
+        d = idx.chd_d[b].astype(jnp.uint32)
+        slot = ((h ^ (d * jnp.uint32(C1))) * jnp.uint32(C2)) >> jnp.uint32(
+            32 - idx.chd_tlog
+        )
+        row = idx.chd_table[slot.astype(jnp.int32)]
+        found = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32) == h
+        lo = jnp.where(found, row[..., 1], 0)
+        hi = jnp.where(found, row[..., 2], 0)
+        return lo, hi
     t = (h >> jnp.uint32(idx.shift)).astype(jnp.int32)
     if idx.vent is not None and os.environ.get("MA_TPU_MM_PACKED", "1") == "1":
         # fully gather-packed form: ONE row fetch per search step. blo2
@@ -300,6 +327,32 @@ class MinimizerIndex:
             posst = jnp.asarray(
                 (self.pos.astype(np.int64) << 1 | self.strand).astype(np.int32)
             )
+        # CHD perfect hash: two-gather lookup (native/chd.cpp). When it
+        # builds, the search-structure arrays below are dead weight — ship
+        # only the CHD tables + occurrence rows to HBM.
+        if os.environ.get("MA_TPU_MM_CHD", "1") == "1":
+            from ma_tpu.native import chd as _chd
+
+            built = _chd.build(hu, uoff) if (len(hu) and _chd.available()) else None
+            if built is not None:
+                D, tbl, tlog, mlog = built
+                return MinimizerIndexDev(
+                    hash_sorted=None,
+                    pos=None if posst is not None else jnp.asarray(self.pos),
+                    strand=None if posst is not None else jnp.asarray(self.strand),
+                    bucket_lo=None,
+                    shift=shift,
+                    steps=steps,
+                    hu=None,
+                    uoff=None,
+                    posst=posst,
+                    blo2=None,
+                    vent=None,
+                    chd_d=jnp.asarray(D),
+                    chd_table=jnp.asarray(tbl),
+                    chd_tlog=tlog,
+                    chd_mlog=mlog,
+                )
         # gather-packed companions: bucket bounds as (lo, hi) rows and
         # (hash, row_lo, row_hi) per unique hash — one multi-column gather
         # each instead of 2-3 single-column ones (same cost per fetch on
@@ -378,8 +431,12 @@ def minimizer_seeding(
     # gather traffic is the dominant cost of the lookup on TPU.
     qpos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     exp = 2 * (L - k + 1) // (w + 1) + 1
+    # ~2.4x the expected count at the default multiplier: every hash-search
+    # gather moves Mc lanes, so the width is the lookup's cost knob; rows
+    # that still overflow are flagged and keep a bit-reversed-spread subset
+    mcx = int(os.environ.get("MA_TPU_MM_MCX", "2"))
     Mc = 32
-    while Mc < min(4 * exp, L):
+    while Mc < min(mcx * exp, L):
         Mc *= 2
     if Mc < L:
         from ma_tpu.ops.sortops import sort_with_payloads as _swp

@@ -57,6 +57,7 @@ from ma_tpu.ops.dp import (
 )
 
 NEG = -(2**30)
+SENT = NEG // 2048  # row-reduction sentinel (packed 2048x must fit int32)
 MAX_RUNS = 32  # per-problem run capacity; overflow lanes are flagged
 
 # traceback modes
@@ -79,9 +80,10 @@ def _shift_right(x, fill, k: int = 1):
 def _cummax_lanes(x):
     """Inclusive cummax along the lane (last) axis via log-doubling."""
     n = x.shape[-1]
+    lo = jnp.iinfo(x.dtype).min // 2
     sh = 1
     while sh < n:
-        x = jnp.maximum(x, _shift_right(x, jnp.iinfo(jnp.int32).min, sh))
+        x = jnp.maximum(x, _shift_right(x, lo, sh))
         sh *= 2
     return x
 
@@ -101,6 +103,16 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
     go2, ge2 = params.gap_open2, params.gap_extend2
     jj = jax.lax.broadcasted_iota(jnp.int32, (PB, N), 1)
 
+    # state dtype: int16 when the score envelope provably fits (kswcpp's
+    # 16-bit SIMD lane trick, kswcpp.h:44-129 — there a runtime overflow
+    # check picks the lane width; here the bucket dims make it static).
+    # The [PB, N] recurrence planes then run at 2x VPU lane throughput.
+    # Mosaic supports only i1/i32 SCALARS: every sdt value must live as a
+    # vector (>= [PB, 1]); scalar math stays int32 and is splatted.
+    sdt = hp_ref.dtype
+    NEG_S = int(jnp.iinfo(sdt).min) // 2  # python int: weakly typed in ops
+    jj_s = jj.astype(sdt)
+
     m = meta_ref[:, 0:1]  # qlen [PB, 1]
     n = meta_ref[:, 1:2]  # tlen
     w = meta_ref[:, 2:3]  # band
@@ -108,10 +120,16 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
     def gap_cost(k):  # negative best cost of a length-k gap (k >= 1)
         return jnp.maximum(-(go1 + k * ge1), -(go2 + k * ge2))
 
+    def gap_cost_s(k):  # sdt-typed variant for the recurrence planes
+        return gap_cost(k).astype(sdt)
+
+    def splat_s(v32):  # int32 scalar -> [PB, 1] sdt vector
+        return jnp.broadcast_to(v32, (PB, 1)).astype(sdt)
+
     # ---- init ----
-    hp_ref[:] = jnp.full((PB, N), NEG, jnp.int32)
-    f1_ref[:] = jnp.full((PB, N), NEG, jnp.int32)
-    f2_ref[:] = jnp.full((PB, N), NEG, jnp.int32)
+    hp_ref[:] = jnp.full((PB, N), NEG_S, sdt)
+    f1_ref[:] = jnp.full((PB, N), NEG_S, sdt)
+    f2_ref[:] = jnp.full((PB, N), NEG_S, sdt)
     book_ref[:] = jnp.zeros((PB, 128), jnp.int32)
     book_ref[:, _GMAX : _GMAX + 1] = jnp.full(
         (PB, 1), NEG if is_global else 0, jnp.int32
@@ -132,47 +150,76 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
         f1p = f1_ref[:]
         f2p = f2_ref[:]
         dropped = book_ref[:, _DROP : _DROP + 1] != 0
+        # i1 masks cannot relayout between the int32 (8, 128) and int16
+        # (16, 128) tilings on Mosaic, so any [PB, N] mask that selects
+        # sdt values is computed FROM sdt comparisons (valid_s), while the
+        # int32 bookkeeping keeps its own int32-derived twin (valid).
         valid = (jj < n) & (i < m) & (jnp.abs(i - jj) <= w)
+        if sdt == jnp.int32:
+            valid_s = valid
+        else:
+            n_s = n.astype(sdt)
+            m_s = m.astype(sdt)
+            w_s = jnp.minimum(w, 1 << 14).astype(sdt)
+            i_s = jnp.broadcast_to(i, (PB, 1)).astype(sdt)
+            di_s = (i - jj).astype(sdt)
+            valid_s = (jj_s < n_s) & (i_s < m_s) & (jnp.abs(di_s) <= w_s)
+        jj_pos = jj_s > 0
 
         h_up = jnp.where(
-            i == 0, jnp.where(jj > 0, gap_cost(jj), NEG), h_prev
+            i == 0, jnp.where(jj_pos, gap_cost_s(jj_s), NEG_S), h_prev
         )
         nf1 = jnp.maximum(h_up - (go1 + ge1), f1p - ge1)
         nf2 = jnp.maximum(h_up - (go2 + ge2), f2p - ge2)
-        cf1 = f1p - ge1 >= h_up - (go1 + ge1)
-        cf2 = f2p - ge2 >= h_up - (go2 + ge2)
+        # continuation bits feed where(mask, const, const) selects, whose
+        # masks Mosaic requires in replicated layout — i16-derived i1
+        # vectors cannot relayout there, so these compares run in int32
+        f1p32 = f1p.astype(jnp.int32)
+        f2p32 = f2p.astype(jnp.int32)
+        h_up32 = h_up.astype(jnp.int32)
+        cf1 = f1p32 - ge1 >= h_up32 - (go1 + ge1)
+        cf2 = f2p32 - ge2 >= h_up32 - (go2 + ge2)
 
-        h_prev_r = _shift_right(h_prev, NEG)
+        h_prev_r = _shift_right(h_prev, NEG_S)
+        gci = splat_s(gap_cost(i))  # [PB, 1] sdt
         diag = jnp.where(
             i == 0,
-            jnp.where(jj == 0, 0, gap_cost(jj)),
-            jnp.where(jj > 0, h_prev_r, gap_cost(i)),
+            jnp.where(jj_pos, gap_cost_s(jj_s), 0),
+            jnp.where(jj_pos, h_prev_r, gci),
         )
         qc = _sel_lane(q_ref[:], jnp.full((PB, 1), i, jnp.int32))  # [PB, 1]
         tc = t_ref[:]
-        is_n = (qc >= 4) | (tc >= 4)
-        sc = jnp.where(is_n, 0, jnp.where(qc == tc, params.match, -params.mismatch))
-        hd = diag + sc
+        sc32 = jnp.where(
+            (qc >= 4) | (tc >= 4), 0,
+            jnp.where(qc == tc, params.match, -params.mismatch),
+        )
+        hd = diag + sc32.astype(sdt)
 
-        h0 = jnp.where(valid, jnp.maximum(hd, jnp.maximum(nf1, nf2)), NEG)
-        virt = jnp.where(i > 0, gap_cost(i), NEG)  # scalar
+        h0 = jnp.where(valid_s, jnp.maximum(hd, jnp.maximum(nf1, nf2)), NEG_S)
+        virt = splat_s(jnp.where(i > 0, gap_cost(i), NEG_S))  # [PB, 1]
 
-        v1 = _shift_right(h0 + ge1 * jj, virt - ge1)
-        e1 = _cummax_lanes(v1) - go1 - ge1 * jj
-        v2 = _shift_right(h0 + ge2 * jj, virt - ge2)
-        e2 = _cummax_lanes(v2) - go2 - ge2 * jj
+        v1 = _shift_right(h0 + ge1 * jj_s, virt - ge1)
+        e1 = _cummax_lanes(v1) - go1 - ge1 * jj_s
+        v2 = _shift_right(h0 + ge2 * jj_s, virt - ge2)
+        e2 = _cummax_lanes(v2) - go2 - ge2 * jj_s
 
         open_src = _shift_right(h0, virt)
-        ce1 = _shift_right(e1, NEG) - ge1 >= open_src - (go1 + ge1)
-        ce2 = _shift_right(e2, NEG) - ge2 >= open_src - (go2 + ge2)
+        open32 = open_src.astype(jnp.int32)
+        ce1 = _shift_right(e1, NEG_S).astype(jnp.int32) - ge1 >= open32 - (go1 + ge1)
+        ce2 = _shift_right(e2, NEG_S).astype(jnp.int32) - ge2 >= open32 - (go2 + ge2)
 
-        h = hd
+        # source selection in int32 (masks here feed const/const selects
+        # too); the heavy cummax/max chains above stay in sdt
+        h32r = hd.astype(jnp.int32)
         src = jnp.zeros((PB, N), jnp.int32)
+        h = hd
         for cand, code in ((e1, SRC_E1), (nf1, SRC_F1), (e2, SRC_E2), (nf2, SRC_F2)):
-            better = cand > h
+            c32 = cand.astype(jnp.int32)
+            better = c32 > h32r
+            h32r = jnp.maximum(h32r, c32)
             h = jnp.maximum(h, cand)
             src = jnp.where(better, code, src)
-        h = jnp.where(valid, h, NEG)
+        h = jnp.where(valid_s, h, NEG_S)
 
         dirbyte = (
             src
@@ -183,46 +230,56 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
         )
         dirs_ref[pl.ds(i, 1)] = dirbyte.astype(jnp.int8)[None]
 
-        # ---- bookkeeping (per-lane) ----
+        # ---- bookkeeping (per-lane; int32 — tiny [PB, 1] planes) ----
+        h32 = h.astype(jnp.int32)
+        h32 = jnp.where(valid, h32, NEG)  # NEG_S would leak a finite score
         scr = book_ref[:, _SCR : _SCR + 1]
         at_last = i == m - 1
         has_end = jnp.sum(
             jnp.where(valid & (jj == n - 1), 1, 0), axis=1, keepdims=True
         ) > 0
-        h_end = _sel_lane(h, jnp.clip(n - 1, 0, N - 1))
+        h_end = _sel_lane(h32, jnp.clip(n - 1, 0, N - 1))
         book_ref[:, _SCR : _SCR + 1] = jnp.where(at_last & has_end, h_end, scr)
 
-        gmax = book_ref[:, _GMAX : _GMAX + 1]
-        gi = book_ref[:, _GI : _GI + 1]
-        gj = book_ref[:, _GJ : _GJ + 1]
-        gd = book_ref[:, _GD : _GD + 1]
-        hm = jnp.where(valid & ~dropped, h, NEG)
-        rmax = jnp.max(hm, axis=1, keepdims=True)
-        rarg = jnp.min(jnp.where(hm == rmax, jj, N), axis=1, keepdims=True)
-        at_last_row = i == m - 1
-        book_ref[:, _LRMAX : _LRMAX + 1] = jnp.where(
-            at_last_row, rmax, book_ref[:, _LRMAX : _LRMAX + 1]
-        )
-        book_ref[:, _LRARG : _LRARG + 1] = jnp.where(
-            at_last_row, rarg, book_ref[:, _LRARG : _LRARG + 1]
-        )
-        upd = (
-            (rmax > gmax) | ((rmax == gmax) & (gi >= 0) & (i + rarg < gd))
-        ) & ~dropped & (rmax > NEG)
-        book_ref[:, _GMAX : _GMAX + 1] = jnp.where(upd, rmax, gmax)
-        book_ref[:, _GI : _GI + 1] = jnp.where(upd, i, gi)
-        book_ref[:, _GJ : _GJ + 1] = jnp.where(upd, rarg, gj)
-        book_ref[:, _GD : _GD + 1] = jnp.where(upd, i + rarg, gd)
-        if zdrop >= 0:
-            gmax2 = book_ref[:, _GMAX : _GMAX + 1]
-            gi2 = book_ref[:, _GI : _GI + 1]
-            gj2 = book_ref[:, _GJ : _GJ + 1]
-            diff = jnp.abs((i - gi2) - (rarg - gj2))
-            has = (jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True) > 0) & (
-                gi2 >= 0
+        # global + no z-drop (the gap-fill bucket) never reads the running
+        # max/argmax: the whole per-row reduction block drops statically
+        if not (is_global and zdrop < 0):
+            gmax = book_ref[:, _GMAX : _GMAX + 1]
+            gi = book_ref[:, _GI : _GI + 1]
+            gj = book_ref[:, _GJ : _GJ + 1]
+            gd = book_ref[:, _GD : _GD + 1]
+            # ONE packed reduction delivers (row max, leftmost argmax):
+            # v = h * 2048 + (2047 - j); max(v) -> h = v >> 11, j = 2047 - low
+            # (|h| <= ~6k at the fused buckets, j < 2048, so no overflow);
+            # the -inf sentinel clamps to SENT so the product stays in int32
+            hm = jnp.where(valid & ~dropped, h32, SENT)
+            packed = jnp.max(hm * 2048 + (2047 - jj), axis=1, keepdims=True)
+            rmax = packed >> 11
+            rarg = 2047 - (packed & 2047)
+            at_last_row = i == m - 1
+            book_ref[:, _LRMAX : _LRMAX + 1] = jnp.where(
+                at_last_row, rmax, book_ref[:, _LRMAX : _LRMAX + 1]
             )
-            ndrop = dropped | (has & (gmax2 - rmax > zdrop + diff * ge1))
-            book_ref[:, _DROP : _DROP + 1] = ndrop.astype(jnp.int32)
+            book_ref[:, _LRARG : _LRARG + 1] = jnp.where(
+                at_last_row, rarg, book_ref[:, _LRARG : _LRARG + 1]
+            )
+            upd = (
+                (rmax > gmax) | ((rmax == gmax) & (gi >= 0) & (i + rarg < gd))
+            ) & ~dropped & (rmax > SENT)
+            book_ref[:, _GMAX : _GMAX + 1] = jnp.where(upd, rmax, gmax)
+            book_ref[:, _GI : _GI + 1] = jnp.where(upd, i, gi)
+            book_ref[:, _GJ : _GJ + 1] = jnp.where(upd, rarg, gj)
+            book_ref[:, _GD : _GD + 1] = jnp.where(upd, i + rarg, gd)
+            if zdrop >= 0:
+                gmax2 = book_ref[:, _GMAX : _GMAX + 1]
+                gi2 = book_ref[:, _GI : _GI + 1]
+                gj2 = book_ref[:, _GJ : _GJ + 1]
+                diff = jnp.abs((i - gi2) - (rarg - gj2))
+                has = (jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True) > 0) & (
+                    gi2 >= 0
+                )
+                ndrop = dropped | (has & (gmax2 - rmax > zdrop + diff * ge1))
+                book_ref[:, _DROP : _DROP + 1] = ndrop.astype(jnp.int32)
 
         hp_ref[:] = h
         f1_ref[:] = nf1
@@ -230,6 +287,10 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
         return 0
 
     jax.lax.fori_loop(0, m_max, fwd_row, 0, unroll=False)
+    # normalize the row-sentinel back to NEG for host consumers (nw.py
+    # chunked extension reads lastrow_max) and the lr_ok check below
+    lr_raw = book_ref[:, _LRMAX : _LRMAX + 1]
+    book_ref[:, _LRMAX : _LRMAX + 1] = jnp.where(lr_raw <= SENT, NEG, lr_raw)
 
     # =================================================== in-kernel traceback
     if is_global:
@@ -280,10 +341,6 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
     def tb_row(carry):
         i, _ = carry
         row = dirs_ref[pl.ds(i, 1)][0].astype(jnp.int32)  # [PB, N]
-        # rightmost column <= j with the continuation bit CLEAR (per piece):
-        # a D run starting at j consumes cells j..that column
-        c1 = _cummax_lanes(jnp.where((row & CONT_E1) == 0, jj, -1))
-        c2 = _cummax_lanes(jnp.where((row & CONT_E2) == 0, jj, -1))
 
         # reset per-row moved flags: lanes not active in this row count as
         # already moved so the inner loop skips them
@@ -321,9 +378,25 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
             emit(jnp.full((PB, 1), OP_M, jnp.int32), jnp.ones((PB, 1), jnp.int32),
                  h_m)
             # --- D runs: consume cells j..stop where stop = rightmost
-            # cont-clear column <= j (or column 0 if none)
-            cpos = jnp.where(h_e1, _sel_lane(c1, jnp.clip(j, 0, N - 1)),
-                             _sel_lane(c2, jnp.clip(j, 0, N - 1)))
+            # cont-clear column <= j (or column 0 if none). The two wide
+            # cummax chains service ONE cell per problem, and most rows
+            # take no deletion at all — compute them only when some lane
+            # actually needs one this iteration (the common path is ~3
+            # wide ops per row instead of ~23).
+            def _with_runs(_):
+                c1 = _cummax_lanes(jnp.where((row & CONT_E1) == 0, jj, -1))
+                c2 = _cummax_lanes(jnp.where((row & CONT_E2) == 0, jj, -1))
+                jc = jnp.clip(j, 0, N - 1)
+                return jnp.where(
+                    h_e1, _sel_lane(c1, jc), _sel_lane(c2, jc)
+                )
+
+            cpos = jax.lax.cond(
+                jnp.sum(h_e.astype(jnp.int32)) > 0,
+                _with_runs,
+                lambda _: jnp.zeros((PB, 1), jnp.int32),
+                None,
+            )
             run_end = jnp.where(cpos >= 0, cpos, 0)
             d_len = jnp.where(cpos >= 0, j - run_end + 1, j + 1)
             emit(jnp.full((PB, 1), OP_D, jnp.int32), jnp.where(h_e, d_len, 0), h_e)
@@ -395,14 +468,39 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
     mout_ref[:, 7:8] = book_ref[:, _LRARG : _LRARG + 1]
 
 
-def _pick_pb(M: int, N: int) -> int:
-    """Problems per block: dirs [M, PB, N] int8 + ~12 [PB, N] int32 planes
+def _pick_pb(M: int, N: int, state_bytes: int = 4) -> int:
+    """Problems per block: dirs [M, PB, N] int8 + ~12 [PB, N] state planes
     within a ~10 MB VMEM budget; >= 32 (int8 sublane tile), <= 256."""
     budget = 10 * 2**20
+    per_col = 14 * state_bytes
     pb = 256
-    while pb > 32 and pb * (M * N + 56 * N) > budget:
+    while pb > 32 and pb * (M * N + per_col * N) > budget:
         pb //= 2
     return pb
+
+
+def _state_dtype(M: int, N: int, params: DPParams):
+    """int16 state planes when the score envelope provably fits with margin
+    (the static analog of kswcpp's 8/16-bit overflow check, kswcpp.h:44-129).
+
+    OFF by default: kswcpp's narrow-lane trick is a CPU-SIMD economics —
+    AVX2 doubles elements/instruction at 16 bit. The TPU VPU's 8x128 lanes
+    are natively 32-bit; Mosaic (v5e) refuses i16 comparisons outright
+    ("Target does not support this comparison") and i16-derived i1 masks
+    cannot relayout into const/const selects, so sub-word state buys no
+    throughput here — the kernel's headroom is loop structure, not lane
+    width. MA_TPU_DP16=1 keeps the experiment reachable (it is cell-exact
+    in interpret mode) for targets whose Mosaic lowers i16 compares."""
+    import os
+
+    if os.environ.get("MA_TPU_DP16", "0") != "1":
+        return jnp.int32
+    ge = max(params.gap_extend, params.gap_extend2)
+    hi = M * params.match + ge * N
+    lo = (
+        params.gap_open + params.gap_open2 + ge * (M + N) + params.mismatch + 64
+    )
+    return jnp.int16 if max(hi, lo) < 14000 else jnp.int32
 
 
 @functools.partial(
@@ -428,7 +526,8 @@ def banded_align_runs(
     back-to-front order, meta [8, P] int32: n_runs, score, max_i, max_j,
     zdropped, run_overflow, lastrow_max, lastrow_arg)."""
     P = q.shape[0]
-    PB = min(_pick_pb(M, N), max(32, P))
+    sdt = _state_dtype(M, N, params)
+    PB = min(_pick_pb(M, N, 2 if sdt == jnp.int16 else 4), max(32, P))
     Pp = ((P + PB - 1) // PB) * PB
     pad = Pp - P
 
@@ -478,9 +577,9 @@ def banded_align_runs(
         ],
         scratch_shapes=[
             pltpu.VMEM((M, PB, N), jnp.int8),  # dirs
-            pltpu.VMEM((PB, N), jnp.int32),  # h_prev
-            pltpu.VMEM((PB, N), jnp.int32),  # f1
-            pltpu.VMEM((PB, N), jnp.int32),  # f2
+            pltpu.VMEM((PB, N), sdt),  # h_prev
+            pltpu.VMEM((PB, N), sdt),  # f1
+            pltpu.VMEM((PB, N), sdt),  # f2
             pltpu.VMEM((PB, 128), jnp.int32),  # book
         ],
         interpret=interpret,
