@@ -101,7 +101,7 @@ def feasible_socs(
     return out
 
 
-def compute_sv_jumps(
+def compute_sv_jumps_batch(
     reads: Sequence[NucSeq],
     pack: Pack,
     mmi: MinimizerIndex,
@@ -112,15 +112,21 @@ def compute_sv_jumps(
     soc_height: int = 0,
     do_reseed: bool = True,
     batch: int = 512,
-) -> List[SvJump]:
-    """reads -> SvJump list (compute_sv_jumps, computeSvJumps.py:6-122):
+):
+    """reads -> JumpBatch (compute_sv_jumps, computeSvJumps.py:6-122):
     device minimizer seeding + lumping + SoC, host feasible-SoC extraction,
-    rectangle reseeding, maximal extension, jump enumeration per SoC."""
+    rectangle reseeding, maximal extension, then ONE vectorized jump
+    enumeration over all reads' seed unions (msv/jumps_batch.py — the
+    scale path; per-object compute_jumps stays as the oracle)."""
+    from ma_tpu.msv.jumps_batch import jumps_from_seed_csr
+
     mmi_dev = mmi.to_device()
     cst = jnp.asarray(np.asarray(pack.starts, np.int32))
     rlf = pack.unpacked_size_forward_strand
-    jumps: List[SvJump] = []
-    next_id = 0
+    all_seeds: List[tuple] = []
+    read_off = [0]
+    qlens: List[int] = []
+    read_ids: List[int] = []
     for s in range(0, len(reads), batch):
         chunk = reads[s : s + batch]
         B = len(chunk)
@@ -151,13 +157,27 @@ def compute_sv_jumps(
             if not union:
                 continue
             union = sorted(set(union))
-            rj = compute_jumps(union, len(chunk[b]), read_id=s + b,
-                               params=params)
-            for j in rj:
-                j.id = next_id
-                next_id += 1
-            jumps.extend(rj)
-    return jumps
+            all_seeds.extend(union)
+            read_off.append(len(all_seeds))
+            qlens.append(len(chunk[b]))
+            read_ids.append(s + b)
+    arr = np.asarray(all_seeds, np.int64).reshape(-1, 5)
+    return jumps_from_seed_csr(
+        arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3].astype(bool), arr[:, 4],
+        np.asarray(read_off, np.int64), np.asarray(qlens, np.int64),
+        np.asarray(read_ids, np.int64), params=params,
+    )
+
+
+def compute_sv_jumps(
+    reads: Sequence[NucSeq],
+    pack: Pack,
+    mmi: MinimizerIndex,
+    **kw,
+) -> List[SvJump]:
+    """Object-list variant of compute_sv_jumps_batch (compat surface for
+    the store/render/tests; identical jumps and ids)."""
+    return compute_sv_jumps_batch(reads, pack, mmi, **kw).to_jumps()
 
 
 def sweep_sv_jumps(

@@ -8,19 +8,65 @@ re-sweep with per-read jump dedup and cluster-size re-estimation — and the
 call filters :488-700; cluster join/reestimate semantics from
 libs/msv/inc/msv/container/svJump.h SvCall:556-768).
 
-The SQL fetch becomes an in-memory sorted jump list; the genome-section
-work units (GenomeSectionFactory) are unnecessary since the sweep is a
-single pass here — data parallelism can shard by strand-section instead.
-"""
+The SQL fetch becomes an in-memory jump COLUMN SET (msv/jumps_batch.py
+JumpBatch): every sweep coordinate is precomputed vectorized, the event
+loop walks scalar numpy columns, and clusters carry index lists — no
+SvJump objects exist on the clustering path (round-4 re-design; the
+object API remains accepted and is converted on entry)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 from ma_tpu.msv.calls import SvCall
 from ma_tpu.msv.jumps import SvJump
+from ma_tpu.msv.jumps_batch import JumpBatch
+
+
+@dataclasses.dataclass
+class _Cols:
+    """Precomputed sweep columns for one jump set."""
+
+    x_start: np.ndarray
+    x_end: np.ndarray
+    y_start: np.ndarray
+    y_end: np.ndarray  # tail edges already squared (sweepSvJumps.h:339-341)
+    from_forward: np.ndarray
+    to_forward: np.ndarray
+    dummy: np.ndarray
+    mirrored: np.ndarray
+    supp_nt: np.ndarray
+    read_id: np.ndarray
+    qdist: np.ndarray
+    from_known: np.ndarray
+    to_known: np.ndarray
+    from_pos: np.ndarray
+    to_pos: np.ndarray
+    jump_id: np.ndarray
+
+    @classmethod
+    def from_batch(cls, jb: JumpBatch) -> "_Cols":
+        known = jb.switch_strand_known()
+        return cls(
+            x_start=jb.from_start(),
+            x_end=jb.from_end(),
+            y_start=jb.to_start(),
+            y_end=np.where(known, jb.to_end(), jb.sweep_end()),
+            from_forward=jb.from_forward,
+            to_forward=jb.to_forward,
+            dummy=~known,
+            mirrored=jb.was_mirrored,
+            supp_nt=jb.num_supporting_nt,
+            read_id=jb.read_id,
+            qdist=jb.query_distance(),
+            from_known=jb.from_known(),
+            to_known=jb.to_known(),
+            from_pos=jb.from_pos,
+            to_pos=jb.to_pos,
+            jump_id=jb.id,
+        )
 
 
 @dataclasses.dataclass
@@ -29,66 +75,54 @@ class _Cluster:
     x_end: int
     y_start: int
     y_end: int
-    from_forward: bool
-    to_forward: bool
-    dummy: bool
-    jumps: List[SvJump]
+    first: int  # creating jump index (strand/dummy/mirror flags)
+    members: List[int]
     open_edges: int
-    supp_nt: int
-    mirrored: bool
 
     def join(self, other: "_Cluster") -> None:
         self.x_start = min(self.x_start, other.x_start)
         self.x_end = max(self.x_end, other.x_end)
         self.y_start = min(self.y_start, other.y_start)
         self.y_end = max(self.y_end, other.y_end)
-        self.jumps.extend(other.jumps)
+        self.members.extend(other.members)
         self.open_edges += other.open_edges
-        self.supp_nt += other.supp_nt
 
 
-def _cluster_from_jump(j: SvJump) -> _Cluster:
-    y_end = j.sweep_end() if not j.switch_strand_known() else j.to_end()
-    # tail edges become squares (exact sweep, sweepSvJumps.h:339-341)
-    return _Cluster(
-        x_start=j.from_start(),
-        x_end=j.from_end(),
-        y_start=j.to_start(),
-        y_end=y_end,
-        from_forward=j.from_forward,
-        to_forward=j.to_forward,
-        dummy=j.is_dummy(),
-        jumps=[j],
-        open_edges=1,
-        supp_nt=j.num_supporting_nt,
-        mirrored=j.was_mirrored,
-    )
-
-
-def _sweep_fast(jumps: Sequence[SvJump]) -> List[_Cluster]:
-    """Same semantics as _sweep_once with O(n log n) bookkeeping."""
-    if not jumps:
+def _sweep_fast(cols: _Cols, idx: np.ndarray) -> List[_Cluster]:
+    """Interval sweep over x with y-overlap cluster joining — the
+    CompleteBipartiteSubgraphSweep (sweepSvJumps.h:82-270) on columns.
+    Members are tracked as LOCAL positions during the sweep (so ownership
+    reassignment on join is direct) and translated to global jump indices
+    at the end."""
+    n = len(idx)
+    if n == 0:
         return []
-    idx_of = {id(j): i for i, j in enumerate(jumps)}
-    events = []
-    for i, j in enumerate(jumps):
-        events.append((j.from_start(), 0, i))
-        events.append((j.from_end(), 1, i))
-    events.sort(key=lambda t: (t[0], t[1]))
-    owner: List[Optional[_Cluster]] = [None] * len(jumps)
+    xs = cols.x_start[idx]
+    xe = cols.x_end[idx]
+    ys = cols.y_start[idx]
+    ye = cols.y_end[idx]
+    # events: (coord, is_end, local index); starts before ends at a tie
+    ev_coord = np.concatenate([xs, xe])
+    ev_end = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+    order = np.lexsort((ev_end, ev_coord))
+    owner: List[Optional[_Cluster]] = [None] * n
     active: List[_Cluster] = []
     done: List[_Cluster] = []
-    for (_, is_end, i) in events:
-        j = jumps[i]
+    for e in order:
+        i = int(e % n)
+        is_end = e >= n
         if not is_end:
-            c = _cluster_from_jump(j)
+            c = _Cluster(
+                x_start=int(xs[i]), x_end=int(xe[i]), y_start=int(ys[i]),
+                y_end=int(ye[i]), first=i, members=[i], open_edges=1,
+            )
             owner[i] = c
             keep = []
             for a in active:
                 if a.y_start <= c.y_end and c.y_start <= a.y_end:
                     c.join(a)
-                    for jj in a.jumps:
-                        owner[idx_of[id(jj)]] = c
+                    for li in a.members:
+                        owner[li] = c
                 else:
                     keep.append(a)
             keep.append(c)
@@ -99,109 +133,121 @@ def _sweep_fast(jumps: Sequence[SvJump]) -> List[_Cluster]:
             if c.open_edges == 0:
                 active.remove(c)
                 done.append(c)
+    for c in done:
+        c.first = int(idx[c.first])
+        c.members = [int(idx[li]) for li in c.members]
     return done
 
 
-def _reestimate(c: _Cluster) -> Tuple[int, int]:
+def _reestimate(cols: _Cols, members: np.ndarray, dummy: bool,
+                from_forward: bool, to_forward: bool) -> Tuple[int, int]:
     """reEstimateClusterSize (svJump.h:664-703): percentile breakpoint
     estimate from member jump endpoints."""
-    horizontal, vertical = [], []
-    for j in c.jumps:
-        if not j.from_known():
-            vertical.append(j.to_pos)
-        elif not j.to_known():
-            horizontal.append(j.from_pos)
-        else:
-            horizontal.append(j.from_pos)
-            vertical.append(j.to_pos)
-    horizontal.sort()
-    vertical.sort()
-    if c.dummy:
+    fk = cols.from_known[members]
+    tk = cols.to_known[members]
+    # horizontal: from_pos where from_known; vertical: to_pos where
+    # to_known-or-not-from_known (the oracle's three append branches)
+    horizontal = np.sort(cols.from_pos[members][fk])
+    vertical = np.sort(cols.to_pos[members][~fk | tk])
+    if dummy:
         ui, uj = len(horizontal), 0
         umin, umax = 1, 0
         while umin > umax and ui > 0 and uj < len(vertical):
-            umin = horizontal[ui - 1]
-            umax = vertical[uj]
+            umin = int(horizontal[ui - 1])
+            umax = int(vertical[uj])
             ui -= 1
             uj += 1
         if ui == 0 or uj == len(vertical):
-            if ui == 0 and vertical:
-                pos = vertical[int(len(vertical) * 0.05)]
-            elif horizontal:
-                pos = horizontal[int(len(horizontal) * 0.95)]
+            if ui == 0 and len(vertical):
+                pos = int(vertical[int(len(vertical) * 0.05)])
+            elif len(horizontal):
+                pos = int(horizontal[int(len(horizontal) * 0.95)])
             else:
                 pos = 0
         else:
             pos = (umin + umax) // 2
         return pos, pos
-    x = horizontal[int(len(horizontal) * (0.95 if c.from_forward else 0.05))]
-    y = vertical[int(len(vertical) * (0.05 if c.to_forward else 0.95))]
+    x = int(horizontal[int(len(horizontal) * (0.95 if from_forward else 0.05))])
+    y = int(vertical[int(len(vertical) * (0.05 if to_forward else 0.95))])
     return x, y
 
 
-def _finalize(c: _Cluster, min_reads: int) -> Optional[SvCall]:
+def _finalize(cols: _Cols, c: _Cluster, min_reads: int) -> Optional[SvCall]:
     # per-read dedup keeping the smallest query distance (exact sweep,
-    # sweepSvJumps.h:389-409)
-    best = {}
-    for j in sorted(c.jumps, key=lambda j: j.query_distance()):
-        if j.read_id not in best:
-            best[j.read_id] = j
-    jumps = list(best.values())
-    if len(jumps) < min_reads:
+    # sweepSvJumps.h:389-409) — stable sort preserves join order at ties
+    members = np.asarray(c.members, np.int64)
+    order = np.argsort(cols.qdist[members], kind="stable")
+    sorted_m = members[order]
+    # first occurrence per read in qdist order == the oracle's dict
+    # insertion order
+    _, first_pos = np.unique(cols.read_id[sorted_m], return_index=True)
+    kept = sorted_m[np.sort(first_pos)]
+    if len(kept) < min_reads:
         return None
-    c.jumps = jumps
-    x, y = _reestimate(c)
+    dummy = bool(cols.dummy[c.first])
+    x, y = _reestimate(cols, kept, dummy, bool(cols.from_forward[c.first]),
+                       bool(cols.to_forward[c.first]))
     return SvCall(
         from_pos=x,
         to_pos=y,
         from_size=0,
         to_size=0,
-        from_forward=c.from_forward,
-        to_forward=c.to_forward,
-        supp_reads=len(jumps),
-        supp_nt=sum(j.num_supporting_nt for j in jumps),
-        supporting_jump_ids=[j.id for j in jumps],
-        mirrored=c.mirrored and all(j.was_mirrored for j in jumps),
+        from_forward=bool(cols.from_forward[c.first]),
+        to_forward=bool(cols.to_forward[c.first]),
+        supp_reads=int(len(kept)),
+        supp_nt=int(cols.supp_nt[kept].sum()),
+        supporting_jump_ids=[int(v) for v in cols.jump_id[kept]],
+        mirrored=bool(cols.mirrored[c.first]) and bool(
+            cols.mirrored[kept].all()
+        ),
     )
 
 
-def _independent_sections(jumps: Sequence[SvJump]) -> List[List[SvJump]]:
+def _independent_sections(cols: _Cols) -> List[np.ndarray]:
     """Partition jumps into x-independent groups with numpy.
 
     The sweep's active set empties exactly where the next from_start lies
     strictly beyond the running max from_end, so cutting there decomposes
     the clustering EXACTLY (the genome-section work units of
     sweepSvJumps.h GenomeSectionFactory:23-75, minus the overlap/dedup
-    rules — these cuts cannot split a cluster). Partitioning is O(n log n)
-    numpy; the per-object sweep then only ever sees small groups."""
-    starts = np.fromiter((j.from_start() for j in jumps), np.int64, len(jumps))
-    ends = np.fromiter((j.from_end() for j in jumps), np.int64, len(jumps))
-    order = np.argsort(starts, kind="stable")
-    s = starts[order]
-    e = np.maximum.accumulate(ends[order])
+    rules — these cuts cannot split a cluster)."""
+    n = len(cols.x_start)
+    order = np.argsort(cols.x_start, kind="stable")
+    s = cols.x_start[order]
+    e = np.maximum.accumulate(cols.x_end[order])
     brk = np.flatnonzero(s[1:] > e[:-1]) + 1
-    bounds = np.concatenate(([0], brk, [len(jumps)]))
+    bounds = np.concatenate(([0], brk, [n]))
     return [
-        [jumps[k] for k in order[bounds[i] : bounds[i + 1]]]
-        for i in range(len(bounds) - 1)
+        order[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)
     ]
 
 
-def sweep_jumps(jumps: Sequence[SvJump], min_reads: int = 2) -> List[SvCall]:
+def sweep_jumps(
+    jumps: Union[Sequence[SvJump], JumpBatch], min_reads: int = 2
+) -> List[SvCall]:
     """Full clustering: coarse sweep -> exact re-sweep per coarse cluster ->
     per-read dedup + breakpoint re-estimation -> min-support filter.
 
-    Large inputs first decompose into x-independent sections (exact;
-    see _independent_sections) so whole-genome jump sets cluster in
-    near-linear time."""
+    Accepts a JumpBatch (the scale path) or a list of SvJump objects
+    (converted on entry). Large inputs first decompose into x-independent
+    sections so whole-genome jump sets cluster in near-linear time."""
+    if isinstance(jumps, JumpBatch):
+        jb = jumps
+    else:
+        jb = JumpBatch.from_jumps(list(jumps))
+    if len(jb) == 0:
+        return []
+    cols = _Cols.from_batch(jb)
     calls: List[SvCall] = []
     groups = (
-        _independent_sections(jumps) if len(jumps) > 512 else [list(jumps)]
+        _independent_sections(cols)
+        if len(jb) > 512
+        else [np.arange(len(jb), dtype=np.int64)]
     )
     for group in groups:
-        for coarse in _sweep_fast(group):
-            for exact in _sweep_fast(coarse.jumps):
-                call = _finalize(exact, min_reads)
+        for coarse in _sweep_fast(cols, group):
+            for exact in _sweep_fast(cols, np.asarray(coarse.members, np.int64)):
+                call = _finalize(cols, exact, min_reads)
                 if call is not None:
                     calls.append(call)
     calls.sort(key=lambda c: (c.from_pos, c.to_pos))

@@ -151,7 +151,15 @@ def soc_sweep_pallas(cand_all, n, min_score, K: int, interpret: bool = False):
     overflow [B]) identical to the XLA while_loop sweep."""
     S, B, _ = cand_all.shape
     interpret = interpret or jax.default_backend() == "cpu"
-    RT = 512 if B >= 512 else max(128, ((B + 127) // 128) * 128)
+    # lane-block size: the [7, S, RT] candidate block + [8K, RT] stack must
+    # fit VMEM (~12 MB budget); long-read/SV shapes run S up to 2048
+    budget = 12 * 2**20
+    per_lane = 4 * (7 * S + 8 * K + 24)
+    RT = 512
+    while RT > 128 and RT * per_lane > budget:
+        RT //= 2
+    if B < RT:
+        RT = max(128, ((B + 127) // 128) * 128)
     Bp = ((B + RT - 1) // RT) * RT
     pad = Bp - B
     ct = jnp.transpose(cand_all, (2, 0, 1)).astype(jnp.int32)  # [7, S, B]

@@ -38,10 +38,15 @@ def _random_jumps(rng, n, span=5_000_000):
 
 
 def _monolithic(jumps, min_reads):
+    from ma_tpu.msv.jumps_batch import JumpBatch
+    from ma_tpu.msv.sweep import _Cols
+
+    jb = JumpBatch.from_jumps(jumps)
+    cols = _Cols.from_batch(jb)
     calls = []
-    for coarse in _sweep_fast(jumps):
-        for exact in _sweep_fast(coarse.jumps):
-            c = _finalize(exact, min_reads)
+    for coarse in _sweep_fast(cols, np.arange(len(jb), dtype=np.int64)):
+        for exact in _sweep_fast(cols, np.asarray(coarse.members, np.int64)):
+            c = _finalize(cols, exact, min_reads)
             if c is not None:
                 calls.append(c)
     calls.sort(key=lambda c: (c.from_pos, c.to_pos))
