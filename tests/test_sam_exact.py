@@ -7,17 +7,30 @@ mapping quality mappingQuality.cpp:11-135, MAPQ int conversion
 fileWriter.cpp:96 ceil(f*254), tie-break orders seed.h:166-183,
 soc.h:71-76, needlemanWunsch.h:131-134).
 
-Measured residual diff classes on 1024 reads (2026-08-20, this harness):
-  * ~1.0% pos/cigar: the best-ranked-but-one SoC harmonizes to a slightly
-    different seed subset when several seeds share (or nearly share) one
-    diagonal — each aligner then reports a 1-4 bp longer/shorter primary
-    (e.g. ref 1H149M vs ours 150M with the end base matching). Both
-    choices are score-consistent chains; the divergence is the rank-1
-    strip's content after the SoC overlap-vacuum, not the DP.
-  * ~1.5% mapq: follows directly from the class above — the runner-up
-    score s2 in (s1-s2)/s1 differs when the rank-1 set differs.
-Everything else (~98%+) is byte-identical on (FLAG, RNAME, POS, MAPQ,
-CIGAR).
+Measured residual diff classes on 1024 reads (round-4 root-cause analysis,
+17/1024 = 1.7% differing):
+
+  * pos/cigar (~1.0%) and mapq (~0.7%) both trace to ONE reference
+    defect: kswcpp's exact-max reduction mis-attributes the max CELL
+    within an antidiagonal (kswcpp_core.h calcMaxScore:190-249, the
+    per-lane `tt[i]+i` / blend reduction). Verified directly (2026-08-21)
+    by driving kswcpp_dispatch on read e171_100611's begin extension with
+    the reference's own flags (EXTZ_ONLY|RIGHT|REV_CIGAR, w=512,
+    zdrop=200): kswcpp returns max=26 at (q=21, t=15), while the exact DP
+    has H(21,15)=4 and its true maxima sit at (18,18)/(21,21). The wrong
+    cell yields a leading 6I run, Alignment::removeDangeling trims it,
+    and maCMD emits 144M6H where the score-optimal extension (ours,
+    147M3H, +6 score) reaches query position 3. The MAPQ-only diffs are
+    the same defect on the runner-up chain: the reference's second seed
+    set extends short (distinct s2 -> small nonzero MAPQ), ours extends
+    both sets to the same optimum (s2 == s1 -> MAPQ 0).
+
+  DECISION: not replicated. Emulating it would mean reproducing a
+  SIMD-lane-layout-dependent misattribution inside a Pallas kernel; our
+  extensions are score-optimal under the reference's own scoring. The
+  ~98.3% of records where extension maxima are unambiguous are
+  byte-identical on (FLAG, RNAME, POS, MAPQ, CIGAR); FLAG/RNAME never
+  differ.
 """
 import collections
 import os
@@ -68,11 +81,22 @@ def sams(tmp_path_factory):
          "-o", f"{d}/ref.sam", "-t", "2"],
         check=True, capture_output=True,
     )
-    from ma_tpu.cli import main
+    import sys as _sys
 
-    assert main(["--Create_Index", f"{d}/genome.fa,{d},ouridx"]) == 0
-    assert main(["-x", f"{d}/ouridx", "-i", f"{d}/reads.fq",
-                 "-o", f"{d}/our.sam"]) == 0
+    def _cli(args):
+        """Own subprocess per CLI run: XLA:CPU segfaults compiling the
+        device stage after ~200 other programs in one suite process (fine
+        in isolation); a fresh interpreter sidesteps the decay."""
+        r = subprocess.run(
+            [_sys.executable, "-m", "ma_tpu.cli", *args],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    _cli(["--Create_Index", f"{d}/genome.fa,{d},ouridx"])
+    _cli(["-x", f"{d}/ouridx", "-i", f"{d}/reads.fq",
+                 "-o", f"{d}/our.sam"])
     return d
 
 

@@ -73,11 +73,22 @@ def test_primary_placement_parity(dataset):
         check=True, capture_output=True,
     )
     # ours
-    from ma_tpu.cli import main
+    import sys as _sys
 
-    assert main(["--Create_Index", f"{d}/genome.fa,{d},ouridx"]) == 0
-    assert main(["-x", f"{d}/ouridx", "-i", f"{d}/reads.fq",
-                 "-o", f"{d}/our.sam"]) == 0
+    def _cli(args):
+        """Own subprocess per CLI run: XLA:CPU segfaults compiling the
+        device stage after ~200 other programs in one suite process (fine
+        in isolation); a fresh interpreter sidesteps the decay."""
+        r = subprocess.run(
+            [_sys.executable, "-m", "ma_tpu.cli", *args],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    _cli(["--Create_Index", f"{d}/genome.fa,{d},ouridx"])
+    _cli(["-x", f"{d}/ouridx", "-i", f"{d}/reads.fq",
+                 "-o", f"{d}/our.sam"])
 
     ref = parse_primaries(f"{d}/ref.sam")
     our = parse_primaries(f"{d}/our.sam")
