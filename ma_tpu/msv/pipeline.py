@@ -57,21 +57,44 @@ def sv_seed_stage(mmi_dev, contig_starts, ref_len_forward, seqs, lens,
                ref_len_forward, jnp.asarray(seqs), jnp.asarray(lens, jnp.int32))
 
 
+class SocHost:
+    """One-shot host copy of a SoCBatch — feasible_socs indexes numpy
+    arrays instead of device slices (a per-read device slice costs a
+    ~15 ms tunnel round trip; x10 fields x reads it dominated the whole
+    SV pipeline)."""
+
+    __slots__ = ("q", "l", "r", "fw", "va", "starts", "ends", "scores",
+                 "n_socs")
+
+    def __init__(self, soc):
+        import jax
+
+        sd = soc.seeds
+        (self.q, self.l, self.r, self.fw, self.va, self.starts, self.ends,
+         self.scores, self.n_socs) = jax.device_get(
+            (sd.q_start, sd.length, sd.ref_start, sd.on_forward, sd.valid,
+             soc.start, soc.end, soc.score, soc.n_socs)
+        )
+
+
 def feasible_socs(
     soc, b: int, min_nt: int, soc_height: int = 0
 ) -> List[List[tuple]]:
     """GetAllFeasibleSoCsAsSet (stripOfConsideration.h:234-285): every SoC
     with accumulated nt >= min_nt, split on query gaps > soc_height, gap
-    pieces below min_nt dropped. Returns seed-tuple lists (nt = SoC score)."""
-    sd = soc.seeds
-    q = np.asarray(sd.q_start[b])
-    l = np.asarray(sd.length[b])
-    r_ = np.asarray(sd.ref_start[b])
-    fw = np.asarray(sd.on_forward[b])
-    va = np.asarray(sd.valid[b])
-    starts = np.asarray(soc.start[b])
-    ends = np.asarray(soc.end[b])
-    scores = np.asarray(soc.score[b])
+    pieces below min_nt dropped. Returns seed-tuple lists (nt = SoC score).
+
+    `soc` may be a SoCBatch (device) or a SocHost snapshot."""
+    if not isinstance(soc, SocHost):
+        soc = SocHost(soc)
+    q = soc.q[b]
+    l = soc.l[b]
+    r_ = soc.r[b]
+    fw = soc.fw[b]
+    va = soc.va[b]
+    starts = soc.starts[b]
+    ends = soc.ends[b]
+    scores = soc.scores[b]
     n_socs = int(soc.n_socs[b])
     out: List[List[tuple]] = []
     for si in range(n_socs):
@@ -138,8 +161,10 @@ def compute_sv_jumps_batch(
         for i, r in enumerate(chunk):
             seqs[i, : len(r)] = r.codes
             lens[i] = len(r)
-        soc = sv_seed_stage(mmi_dev, cst, rlf, seqs, lens, k=mmi.k, w=mmi.w,
-                            max_occ=max_occ, min_seed_len=min_seed_len)
+        soc = SocHost(
+            sv_seed_stage(mmi_dev, cst, rlf, seqs, lens, k=mmi.k, w=mmi.w,
+                          max_occ=max_occ, min_seed_len=min_seed_len)
+        )
         for b in range(B):
             # per-SoC reseeding, then jumps over the UNION of the feasible
             # SoCs' seeds (RecursiveReseedingSoCs reduces the SeedsSet back

@@ -32,7 +32,9 @@ def test_sa40_matches_int64(n):
     np.testing.assert_array_equal(vals, sa)
 
 
-@pytest.mark.parametrize("n", [64, 1000, 250_000])
+# 2 Mbp runs the 40-bit path at a size where its packing/recursion
+# workspace layout actually matters (VERDICT r3 #3; ~6 s in CI)
+@pytest.mark.parametrize("n", [64, 1000, 250_000, 2_000_000])
 def test_fmd_large_build_field_identical(n):
     rng = np.random.default_rng(n + 7)
     half = rng.integers(0, 4, size=n).astype(np.uint8)
