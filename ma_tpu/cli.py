@@ -163,6 +163,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                 serve_path = nxt
                 i += 2
                 continue
+            if opt == "--GUI" or key == "gui":
+                # maGUI role (gui/src/maGUI.cpp:45-332): local web console
+                # generated from the parameter reflection (ma_tpu/gui.py)
+                from ma_tpu.gui import serve as gui_serve
+
+                port = 8765
+                if nxt is not None and _is_number(nxt):
+                    port = int(nxt)
+                gui_serve(port)
+                return 0
             if opt == "-X" or key == "create_index":
                 parts = nxt.split(",")
                 if len(parts) != 3:
