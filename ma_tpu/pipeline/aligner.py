@@ -104,14 +104,17 @@ class DeviceStageConfig:
             # expected short-read seed count is ~2L/(w+1) minimizers x small
             # mean occurrence — L slots is already ~7x headroom at L=160
             # (the SeedBatch overflow flag marks the rare loss); every
-            # downstream sort/gather in the device stage scales with this
-            max_seeds=_next_pow2(max(256, L)),
+            # downstream sort/gather in the device stage scales with this.
+            # Very long reads cap at 8192 slots (~1.4x the expected 2L/11
+            # minimizer count at 32 kb): uncapped, the 32k-slot device
+            # stage OOM-kills the XLA compile helper
+            max_seeds=min(_next_pow2(max(256, L)), 8192),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
             # a strip on a short read usually holds ~2L/(w+1) seeds, but
             # multi-occurrence minimizers on tandem repeats push windows to
             # >32 at L=160 (ADVICE r3 measured 63); keep 64 minimum, and
             # _batch_overflow flags any read whose window still exceeds it
-            seeds_per_soc=_next_pow2(max(64, L // 8), lo=64),
+            seeds_per_soc=min(_next_pow2(max(64, L // 8), lo=64), 2048),
             min_seed_len=int(g("Minimal Seed Length")),
             min_ambiguity=int(g("Minimal Ambiguity")),
             max_ambiguity=int(g("Maximal Ambiguity")),
@@ -138,7 +141,13 @@ class DeviceStageConfig:
             # very long reads (PacBio/ONT) also drop to 4 candidates or the
             # guide-line tensor goes to GBs
             n_cand=4 if (L <= 256 or L >= 8192) else 8,
-            max_socs_harm=min(max_socs, 8 if L <= 256 else (16 if L <= 1024 else max_socs)),
+            # >= 8 kb drops back to 16 harmonized SoCs: the guide-line /
+            # window-extract tensors scale with K x seeds_per_soc and the
+            # unrolled program at K=30, M=4096 overwhelms the compiler
+            max_socs_harm=min(
+                max_socs,
+                8 if L <= 256 else (16 if (L <= 1024 or L >= 8192) else max_socs),
+            ),
         )
 
 
