@@ -67,14 +67,18 @@ def _sweep_kernel(end_ref, dist_ref, valid_ref, orig_ref, surv_ref, st_end,
     jax.lax.fori_loop(0, M, step, 0, unroll=False)
 
     # survivors, reported at ORIGINAL seed positions (st_seed holds the
-    # original index each live slot was pushed from)
+    # original index each live slot was pushed from). A dynamic fori_loop,
+    # NOT a Python loop: unrolled at M=2048 (long reads) the kernel grows
+    # to >10k ops and OOM-kills the XLA compile helper.
     sp = misc[0, :][None, :]
-    alive = (pos < sp) & (st_seed[:] >= 0)
-    surv = jnp.zeros((M, R), jnp.int32)
-    for p in range(M):  # mark row st_seed[p] for each live stack slot p
-        row_seed = st_seed[p, :][None, :]
-        row_alive = alive[p, :][None, :]
-        surv = jnp.where((pos == row_seed) & row_alive, 1, surv)
+
+    def mark(p, surv):
+        row_seed = st_seed[pl.ds(p, 1)]  # [1, R]
+        row_alive = (p < sp) & (row_seed >= 0)
+        return jnp.where((pos == row_seed) & row_alive, 1, surv)
+
+    surv = jax.lax.fori_loop(0, M, mark, jnp.zeros((M, R), jnp.int32),
+                             unroll=False)
     surv_ref[:] = surv.astype(jnp.uint8)
 
 
@@ -91,7 +95,16 @@ def linesweep_sorted_pallas(s_end, s_dist, s_valid, s_orig=None,
     R, M = s_end.shape
     if s_orig is None:
         s_orig = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (R, M))
-    RT = 2048 if R >= 2048 else max(128, ((R + 127) // 128) * 128)
+    # row-block size bounded by VMEM: 4 input blocks + 3 [M, RT] scratch
+    # planes + survivors (~29 bytes/element) must fit the ~12 MB scoped
+    # budget — long-read shapes run M up to 2048
+    budget = 12 * 2**20
+    per_lane = 29 * M + 64
+    RT = 2048
+    while RT > 128 and RT * per_lane > budget:
+        RT //= 2
+    if R < RT:
+        RT = max(128, ((R + 127) // 128) * 128)
     Rp = ((R + RT - 1) // RT) * RT
     pad = Rp - R
 

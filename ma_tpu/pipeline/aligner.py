@@ -545,6 +545,35 @@ class Aligner:
     # ----------------------------------------------------------------- device
     DATA_HEAD_CAP = 8192  # packed-seed prefix shipped eagerly per batch
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _unpack_codes(pk, nm, L: int):
+        """[B, L/4] 2-bit-packed bases + [B, L/8] N-bitmask -> [B, L] uint8
+        codes (0-3, 4 = N). The tunnel moves ~30 MB/s: shipping reads
+        packed cuts the per-batch h2d from L to 0.375*L bytes/read."""
+        B = pk.shape[0]
+        sh2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+        codes = ((pk[:, :, None] >> sh2) & 3).reshape(B, L)
+        sh1 = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+        nbit = ((nm[:, :, None] >> sh1) & 1).reshape(B, L)
+        return jnp.where(nbit != 0, jnp.uint8(4), codes).astype(jnp.uint8)
+
+    def _upload_codes(self, seqs: np.ndarray):
+        """Host 2-bit pack + device unpack; falls back to a raw upload for
+        lengths that don't pack cleanly."""
+        B, L = seqs.shape
+        if L % 8:
+            return jnp.asarray(seqs)
+        base = (seqs & 3).astype(np.uint8)
+        pk = (
+            base[:, 0::4]
+            | (base[:, 1::4] << 2)
+            | (base[:, 2::4] << 4)
+            | (base[:, 3::4] << 6)
+        )
+        nm = np.packbits((seqs >= 4), axis=1, bitorder="little")
+        return self._unpack_codes(jnp.asarray(pk), jnp.asarray(nm), L)
+
     def run_device_stage(self, seqs: np.ndarray, lens: np.ndarray):
         """Run the jitted device stage on a [B, L] batch of codes.
 
@@ -554,7 +583,7 @@ class Aligner:
         device->host copies immediately (copy_to_host_async), so the tunnel
         transfer overlaps the host work between dispatch and plan_batch."""
         cfg = DeviceStageConfig.from_params(self.pset, seqs.shape[1])
-        seqs_j = jnp.asarray(seqs)
+        seqs_j = self._upload_codes(seqs)
         lens_j = jnp.asarray(lens, jnp.int32)
         if cfg.seeding_technique == "minimizers":
             out = device_stage_mm(

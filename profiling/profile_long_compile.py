@@ -15,7 +15,7 @@ from ma_tpu.ops.harmonize import compact_harm, harmonization
 from ma_tpu.pipeline.aligner import DeviceStageConfig, _harm_pack_core, _soc_min_score
 from ma_tpu.config.parameters import ParameterSetManager
 
-B, L = 8, 32768
+B, L = 32, 32768
 GENOME = 2_000_000
 rng = np.random.default_rng(1)
 genome = rng.integers(0, 4, GENOME).astype(np.uint8)
