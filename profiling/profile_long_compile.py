@@ -16,7 +16,7 @@ from ma_tpu.pipeline.aligner import DeviceStageConfig, _harm_pack_core, _soc_min
 from ma_tpu.config.parameters import ParameterSetManager
 
 B, L = 32, 32768
-GENOME = 2_000_000
+GENOME = 10_000_000
 rng = np.random.default_rng(1)
 genome = rng.integers(0, 4, GENOME).astype(np.uint8)
 pack = Pack.empty(); pack.append("g", genome)

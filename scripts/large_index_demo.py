@@ -12,6 +12,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax
+
+# sitecustomize re-pins JAX_PLATFORMS=axon at interpreter start; force the
+# build+align onto CPU via config (this is a host-memory benchmark)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import resource
 

@@ -86,11 +86,18 @@ def sams(tmp_path_factory):
     def _cli(args):
         """Own subprocess per CLI run: XLA:CPU segfaults compiling the
         device stage after ~200 other programs in one suite process (fine
-        in isolation); a fresh interpreter sidesteps the decay."""
+        in isolation). jax_platforms is forced via jax.config INSIDE the
+        child: this sandbox's sitecustomize re-pins JAX_PLATFORMS=axon at
+        interpreter start, so the env var alone would grab the real TPU
+        (and collide with anything else using the chip)."""
+        cpu_cli = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from ma_tpu.cli import main; "
+            "sys.exit(main(sys.argv[1:]))"
+        )
         r = subprocess.run(
-            [_sys.executable, "-m", "ma_tpu.cli", *args],
+            [_sys.executable, "-c", cpu_cli, *args],
             capture_output=True, text=True,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
         assert r.returncode == 0, r.stderr[-2000:]
 

@@ -78,11 +78,18 @@ def test_primary_placement_parity(dataset):
     def _cli(args):
         """Own subprocess per CLI run: XLA:CPU segfaults compiling the
         device stage after ~200 other programs in one suite process (fine
-        in isolation); a fresh interpreter sidesteps the decay."""
+        in isolation). jax_platforms is forced via jax.config INSIDE the
+        child: this sandbox's sitecustomize re-pins JAX_PLATFORMS=axon at
+        interpreter start, so the env var alone would grab the real TPU
+        (and collide with anything else using the chip)."""
+        cpu_cli = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from ma_tpu.cli import main; "
+            "sys.exit(main(sys.argv[1:]))"
+        )
         r = subprocess.run(
-            [_sys.executable, "-m", "ma_tpu.cli", *args],
+            [_sys.executable, "-c", cpu_cli, *args],
             capture_output=True, text=True,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
         assert r.returncode == 0, r.stderr[-2000:]
 
@@ -145,12 +152,16 @@ def test_long_read_placement_parity(dataset, tmp_path):
     # in isolation) — fresh interpreter sidesteps the compiler-state decay
     import sys as _sys
 
+    _cpu_cli = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from ma_tpu.cli import main; "
+        "sys.exit(main(sys.argv[1:]))"
+    )
     r = subprocess.run(
-        [_sys.executable, "-m", "ma_tpu.cli", "-x", f"{d}/ouridx",
+        [_sys.executable, "-c", _cpu_cli, "-x", f"{d}/ouridx",
          "-i", str(tmp_path / "long.fq"), "-o", str(tmp_path / "our.sam"),
          "-p", "PacBio"],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0, r.stderr[-2000:]
     ref = parse_primaries(tmp_path / "ref.sam")

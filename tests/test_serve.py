@@ -27,17 +27,25 @@ def test_serve_two_requests(tmp_path):
                 s = seq[p : p + 150]
                 f.write(f"@s{r}_{i}_{p}\n{s}\n+\n{'I' * 150}\n")
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo
+    # force CPU via jax.config inside the child: sitecustomize re-pins
+    # JAX_PLATFORMS=axon at interpreter start, so the env var alone would
+    # put the daemon on the real TPU (colliding with chip users)
+    cpu_cli = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from ma_tpu.cli import main; "
+        "sys.exit(main(sys.argv[1:]))"
+    )
     subprocess.run(
-        [sys.executable, "-m", "ma_tpu.cli", "--Create_Index",
+        [sys.executable, "-c", cpu_cli, "--Create_Index",
          f"{fa},{tmp_path},idx"],
         check=True, env=env, capture_output=True, timeout=300,
     )
     sock = str(tmp_path / "srv.sock")
     proc = subprocess.Popen(
-        [sys.executable, "-m", "ma_tpu.cli", "-x", str(tmp_path / "idx"),
+        [sys.executable, "-c", cpu_cli, "-x", str(tmp_path / "idx"),
          "--Serve", sock],
         env=env, stderr=subprocess.PIPE, text=True,
     )
