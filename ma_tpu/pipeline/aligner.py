@@ -1074,6 +1074,14 @@ class Aligner:
             the pipeline-parallel overlap the reference gets from threads)."""
             B = len(bucket)
             L = _next_pow2(max(len(r) for r in bucket))
+            if L >= 8192:
+                # one FIXED batch shape per long-read bucket: executing
+                # differently-B'd instances of the >= 8 kb stage in one
+                # process intermittently faults the tunneled backend with
+                # a runtime InvalidArgument (reproduced: B=8 warmup then
+                # B=32 batches fails; all-B=32 is clean). Padding rows are
+                # empty reads (len 0 -> no seeds -> no output).
+                B = max(B, max(32, batch_size * 512 // L))
             with stage_timer(self.profiler, "host batch prep"):
                 seqs = np.full((B, L), 4, np.uint8)
                 lens = np.zeros(B, np.int32)
@@ -1142,6 +1150,23 @@ class Aligner:
                 collect(planned)
             planned = new_planned
 
+        def submit(bucket: List[NucSeq]):
+            # Long-read buckets drain the pipeline around each batch: with
+            # a >= 8 kb device stage in flight behind a chunked-extension
+            # DP train, the tunneled backend intermittently faults the
+            # queued program with a runtime InvalidArgument (reproduced on
+            # continuous 20 kb batches; chunk-isolated batches are clean).
+            # Serializing long batches costs only their stage/DP overlap.
+            L = _next_pow2(max(len(r) for r in bucket))
+            if L >= 8192:
+                rotate(None)
+                rotate(None)
+                rotate(bucket)
+                rotate(None)
+                rotate(None)
+            else:
+                rotate(bucket)
+
         for read in reads:
             key = _next_pow2(max(len(read), 1))
             buckets.setdefault(key, []).append(read)
@@ -1149,9 +1174,9 @@ class Aligner:
             # scales with L (seeds, SoC windows, harmonization planes)
             eff = batch_size if key <= 512 else max(32, batch_size * 512 // key)
             if len(buckets[key]) >= eff:
-                rotate(buckets.pop(key))
+                submit(buckets.pop(key))
         for bucket in buckets.values():
-            rotate(bucket)
+            submit(bucket)
         rotate(None)
         rotate(None)
         return n
