@@ -71,16 +71,44 @@ def main():
     res = aligner.align_batch(warm)
     t_warm = time.perf_counter() - t0
     n_aligned = sum(1 for r in res if r)
+
+    # engaged-path report (VERDICT r4 #1): make the bench self-describing so
+    # a regression can be attributed to a disengaged fast path vs noise
+    import jax
+
+    from ma_tpu.native import chd as _chd
+
+    mmi_dev = getattr(aligner, "_mmi_dev", None)
+    engaged = {
+        "seeding": tech,
+        "chd_lookup": bool(
+            tech == "minimizers"
+            and mmi_dev is not None
+            and getattr(mmi_dev, "chd_table", None) is not None
+            and os.environ.get("MA_TPU_MM_CHD", "1") == "1"
+        ),
+        "chd_native": _chd.available(),
+        "native_finish": bool(aligner._use_native_finish()),
+        "native_sam": bool(aligner.native_sam_enabled()),
+        "dp_kernel": os.environ.get("MA_TPU_DP", "fused"),
+        "platform": jax.devices()[0].platform,
+    }
     if aligner.profiler is not None:
         # drop warmup/compile time so the table reflects steady state
         from ma_tpu.utils.profile import AnalyzeRuntimes as _AR
 
         aligner.profiler = _AR()
 
-    t0 = time.perf_counter()
+    # measurement: median of >=3 full passes (VERDICT r4 #1 — a single
+    # ~1.6 s window against a noisy tunnel produced 40% run-to-run swings)
+    n_passes = int(os.environ.get("MA_TPU_BENCH_PASSES", 3))
+    walls = []
     with open(os.devnull, "w") as devnull:
-        total = aligner.align_to_sam(iter(reads), devnull, batch_size=batch)
-    dt = time.perf_counter() - t0
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            total = aligner.align_to_sam(iter(reads), devnull, batch_size=batch)
+            walls.append(time.perf_counter() - t0)
+    dt = sorted(walls)[len(walls) // 2]
     rps = total / dt
 
     vs = rps / BASELINE_REF_READS_PER_S if BASELINE_REF_READS_PER_S > 0 else 0.0
@@ -96,9 +124,11 @@ def main():
     )
     print(
         f"# genome={genome_len}bp index_build={t_index:.1f}s warmup={t_warm:.1f}s "
-        f"aligned_warm={n_aligned}/{len(warm)} total={total} wall={dt:.2f}s",
+        f"aligned_warm={n_aligned}/{len(warm)} total={total} "
+        f"walls={['%.2f' % w for w in walls]}s median={dt:.2f}s",
         file=sys.stderr,
     )
+    print(f"# engaged: {json.dumps(engaged)}", file=sys.stderr)
     if aligner.profiler is not None:
         aligner.profiler.analyze(out=sys.stderr)
 

@@ -118,7 +118,7 @@ def _records(path):
         if flag & 0x900:
             nsec[f[0]] += 1
             continue
-        prim[f[0]] = (flag, f[2], int(f[3]), int(f[4]), f[5])
+        prim[f[0]] = (flag, f[2], int(f[3]), int(f[4]), f[5], f[9])
     return prim, nsec
 
 
@@ -145,6 +145,68 @@ def test_full_record_identity(sams):
     assert frac >= 0.98, (frac, dict(classes))
     # secondary/supplementary record counts agree in aggregate
     assert abs(sum(ref_sec.values()) - sum(our_sec.values())) <= len(ref) * 0.02
+
+
+def _sam_record_score(seq, cigar, pos, genome_seq,
+                      match=2, mismatch=4, go1=4, ge1=2, go2=24, ge2=1):
+    """Local-alignment score of a SAM record under the reference's default
+    scoring (match 2, mismatch 4, 2-piece affine 4/2 + 24/1; kswcpp.h:44-129).
+    Clips score 0; gap of length l costs min(go1+l*ge1, go2+l*ge2)."""
+    s, qi, ti = 0, 0, pos - 1
+    num = ""
+    for c in cigar:
+        if c.isdigit():
+            num += c
+            continue
+        ln = int(num)
+        num = ""
+        if c in "M=X":
+            for k in range(ln):
+                s += match if seq[qi + k] == genome_seq[ti + k] else -mismatch
+            qi += ln
+            ti += ln
+        elif c == "I":
+            s -= min(go1 + ln * ge1, go2 + ln * ge2)
+            qi += ln
+        elif c == "D":
+            s -= min(go1 + ln * ge1, go2 + ln * ge2)
+            ti += ln
+        elif c == "S":
+            qi += ln
+        # H: consumes nothing
+    return s
+
+
+def test_divergent_records_score_optimal(sams):
+    """Mechanical check of the residual-divergence claim (VERDICT r4 #6):
+    for EVERY primary record where our (pos, cigar) differs from the
+    reference's, re-score both CIGARs under the reference's own scoring and
+    assert ours >= theirs. This pins the docstring's root-cause analysis
+    (kswcpp max-cell misattribution yields sub-optimal reference
+    extensions) as a per-run invariant rather than prose."""
+    d = sams
+    ref, _ = _records(d / "ref.sam")
+    our, _ = _records(d / "our.sam")
+    genome_seq = ""
+    for line in open(d / "genome.fa"):
+        if not line.startswith(">"):
+            genome_seq += line.strip()
+    ref_wins = []
+    n_divergent = 0
+    for n in ref:
+        (rflag, _, rpos, _, rcig, rseq) = ref[n]
+        (oflag, _, opos, _, ocig, oseq) = our[n]
+        if (rpos, rcig) == (opos, ocig):
+            continue
+        n_divergent += 1
+        rs = _sam_record_score(rseq, rcig, rpos, genome_seq)
+        os_ = _sam_record_score(oseq, ocig, opos, genome_seq)
+        if os_ < rs:
+            ref_wins.append((n, rs, os_, rpos, rcig, opos, ocig))
+    assert not ref_wins, (
+        f"{len(ref_wins)}/{n_divergent} divergent records where the "
+        f"reference out-scores us: {ref_wins[:5]}"
+    )
 
 
 def test_mapq_distribution(sams):
