@@ -285,10 +285,27 @@ def run_sv_calling(
     render_html(out + ".html", jumps, calls,
                 genome_len=pack.unpacked_size_forward_strand)
     from ma_tpu.msv.html_view import render_interactive_html
+    from ma_tpu.msv.pipeline import seeds_for_reads
 
+    # seed dot-plots for the calls' supporting reads (cap the refetch)
+    supp_ids: List[int] = []
+    jump_by_id = {j.id: j for j in jumps}
+    for c in calls:
+        for jid in c.supporting_jump_ids or []:
+            j = jump_by_id.get(jid)
+            if j is not None:
+                supp_ids.append(int(j.read_id))
+    supp_ids = sorted(set(supp_ids))[:512]
+    rs = seeds_for_reads(
+        reads, pack, mmi, supp_ids,
+        min_seed_len=int(g("Minimal Seed Size SV")),
+        max_occ=int(g("Maximal Ambiguity SV")),
+        min_nt_in_soc=int(g("Min NT in SoC")),
+    ) if supp_ids else {}
     render_interactive_html(
         out + ".view.html", jumps, calls,
         genome_len=pack.unpacked_size_forward_strand,
+        read_seeds=rs, pack=pack,
     )
     print(
         f"done. {len(reads)} reads -> {len(jumps)} jumps -> {len(calls)} "

@@ -56,7 +56,15 @@ def render_interactive_html(
     title: str = "ma_tpu SV viewer",
     max_points: int = 50000,
     match_tol: int = 50,
+    read_seeds: Optional[dict] = None,
+    pack=None,
+    context: int = 40,
 ) -> None:
+    """`read_seeds` ({read_id: [(q, len, ref, fwd), ...]}, e.g. from
+    msv.pipeline.seeds_for_reads) enables the per-read seed dot-plot in the
+    call detail panel; `pack` enables the +-`context` nucleotide track
+    around each call's two breakends (the bokeh app's seed-plot and
+    nucleotide-track roles, sv_visualization/bokeh_server.py:1-40)."""
     jrows = [
         {
             "x": int(j.from_pos), "y": int(j.to_pos),
@@ -70,6 +78,28 @@ def render_interactive_html(
     ]
     crows = [_call_row(c) for c in calls]
     trows = [_call_row(c) for c in truth]
+    if pack is not None:
+        L = pack.unpacked_size_forward_strand
+
+        def _ctx(pos: int, size: int):
+            lo = max(int(pos) - context, 0)
+            hi = min(int(pos) + max(int(size), 1) + context, L)
+            hi = min(hi, lo + 200)  # bound the embedded string
+            if hi <= lo:
+                return None
+            seq = "".join(
+                "ACGTN"[min(int(b), 4)] for b in pack.codes[lo:hi]
+            )
+            hl = int(pos) - lo
+            return [seq, hl, max(min(max(int(size), 1), hi - lo - hl), 0), lo]
+
+        for c in crows:
+            c["cf"] = _ctx(c["x"], c["w"])
+            c["ct"] = _ctx(c["y"], c["h"])
+    rseeds = {
+        str(int(rid)): [[int(q), int(l), int(r), bool(fw)] for (q, l, r, fw) in ss]
+        for rid, ss in (read_seeds or {}).items()
+    }
     # recall/precision at the fixed tolerance (the bokeh recall UI role)
     hit_truth = [any(_match(c, t, match_tol) for c in crows) for t in trows]
     hit_call = [any(_match(c, t, match_tol) for t in trows) for c in crows]
@@ -87,7 +117,10 @@ def render_interactive_html(
         + [r["y"] + r.get("h", 0) for r in jrows + crows + trows]
         + [1]
     )
-    data = json.dumps({"jumps": jrows, "calls": crows, "truth": trows, "hi": hi})
+    data = json.dumps(
+        {"jumps": jrows, "calls": crows, "truth": trows, "hi": hi,
+         "rseeds": rseeds}
+    )
 
     rows_html = "".join(
         f"<tr><td>{c['id']}</td><td>{c['x']}</td><td>{c['y']}</td>"
@@ -134,6 +167,10 @@ table {{ border-collapse: collapse; font-size: 11px; }}
 td, th {{ border: 1px solid var(--grid); padding: 2px 6px;
          color: var(--text-secondary); }}
 summary {{ cursor: pointer; margin-top: 10px; color: var(--text-secondary); }}
+.track {{ font-size: 11px; letter-spacing: 1px; overflow-wrap: anywhere;
+         margin: 4px 0; color: var(--text-secondary); }}
+.track .hl {{ color: var(--series-2); font-weight: bold;
+             text-decoration: underline; }}
 </style></head><body class="viz-root">
 <h3>{html.escape(title)}</h3>
 <div class="legend">
@@ -226,6 +263,15 @@ function tooltip(ev, text) {{
   tip.textContent = text;
 }}
 function hide() {{ tip.style.display = 'none'; }}
+function track(label, t) {{
+  // nucleotide track around a breakend: +-context with the call region
+  // highlighted (the bokeh nucleotide-track role)
+  if (!t) return '';
+  const [seq, hl, n, lo] = t;
+  return `<div class="track"><b>${{label}}</b> @${{fmt(lo)}}<br>` +
+    `${{seq.slice(0, hl)}}<span class="hl">${{seq.slice(hl, hl + n)}}</span>` +
+    `${{seq.slice(hl + n)}}</div>`;
+}}
 function inspect(c) {{
   panel.innerHTML =
     `<b>call ${{c.id}}</b><br>from ${{fmt(c.x)}} +${{c.w}} ` +
@@ -233,25 +279,48 @@ function inspect(c) {{
     `(${{c.tf ? 'fwd' : 'rev'}})<br>support: ${{c.reads}} reads, ` +
     `${{c.nt}} nt<br>ambiguity: ${{c.amb}}<br>` +
     (c.ins ? `inserted: <b>${{c.ins}}</b><br>` : '') +
-    `jumps: ${{c.jumps.join(', ') || '-'}}`;
+    `jumps: ${{c.jumps.join(', ') || '-'}}` +
+    track('from breakend', c.cf) + track('to breakend', c.ct);
   // linked per-read dot-plot (the bokeh seed-plot role): each supporting
-  // jump drawn as its query span vs its two reference breakends
+  // jump drawn as its query span vs its two reference breakends, plus the
+  // SEEDS of supporting reads as diagonal segments (query vs reference)
   const js = D.jumps.filter(j => c.jumps.includes(j.id));
   if (!js.length) return;
+  const reads = [...new Set(js.map(j => j.read))];
+  const seedsOf = r => (D.rseeds && D.rseeds[String(r)]) || [];
+  const segs = [];  // [r0, q0, r1, q1, read]
+  for (const r of reads)
+    for (const [q, l, rp, fw] of seedsOf(r))
+      segs.push(fw ? [rp, q, rp + l, q + l, r] : [rp, q, rp - l, q + l, r]);
   const SW = 260, SP = 30;
-  const rlo = Math.min(...js.map(j => Math.min(j.x, j.y)));
-  const rhi = Math.max(...js.map(j => Math.max(j.x, j.y)));
-  const qhi = Math.max(...js.map(j => j.q[1])) || 1;
+  const rvals = js.flatMap(j => [j.x, j.y]).concat(
+    segs.flatMap(s => [s[0], s[2]]));
+  const rlo = Math.min(...rvals);
+  const rhi = Math.max(...rvals);
+  const qhi = Math.max(...js.map(j => j.q[1]).concat(
+    segs.map(s => s[3]))) || 1;
   const rs = v => SP + (v - rlo) / Math.max(rhi - rlo, 1) * (SW - 2 * SP);
   const qs = v => SW - SP - v / qhi * (SW - 2 * SP);
   const mini = el('svg', {{width: SW, height: SW, style:
     'border:1px solid var(--grid); margin-top:8px; display:block'}});
-  const reads = [...new Set(js.map(j => j.read))];
+  for (const s of segs) {{
+    const hue = reads.indexOf(s[4]) % 3 + 1;
+    const ln = el('path', {{d:
+      `M${{rs(s[0])}},${{qs(s[1])}} L${{rs(s[2])}},${{qs(s[3])}}`,
+      stroke: `var(--series-${{hue}})`, 'stroke-width': 1, fill: 'none',
+      opacity: 0.6}});
+    ln.addEventListener('mousemove', ev => tooltip(ev,
+      `seed read ${{s[4]}}: q${{s[1]}} ref ${{fmt(s[0])}} ` +
+      `len ${{Math.abs(s[3] - s[1])}}`));
+    ln.addEventListener('mouseleave', hide);
+    mini.appendChild(ln);
+  }}
   for (const j of js) {{
     const hue = reads.indexOf(j.read) % 3 + 1;
     const ln = el('path', {{d:
       `M${{rs(j.x)}},${{qs(j.q[0])}} L${{rs(j.y)}},${{qs(j.q[1])}}`,
-      stroke: `var(--series-${{hue}})`, 'stroke-width': 1.5, fill: 'none'}});
+      stroke: `var(--series-${{hue}})`, 'stroke-width': 1.5, fill: 'none',
+      'stroke-dasharray': '4 2'}});
     ln.addEventListener('mousemove', ev => tooltip(ev,
       `read ${{j.read}}: q[${{j.q[0]}},${{j.q[1]}}) ref ` +
       `${{fmt(j.x)}} -> ${{fmt(j.y)}}`));
@@ -263,7 +332,7 @@ function inspect(c) {{
   }}
   const cap = el('text', {{x: SW / 2, y: 12, 'font-size': 10,
     'text-anchor': 'middle', fill: 'var(--text-secondary)'}});
-  cap.textContent =
+  cap.textContent = (segs.length ? 'seeds + ' : '') +
     `supporting jumps: ref ${{fmt(rlo)}}-${{fmt(rhi)}} (x) vs query (y)`;
   mini.appendChild(cap);
   panel.appendChild(mini);

@@ -135,19 +135,34 @@ def compute_sv_jumps_batch(
     soc_height: int = 0,
     do_reseed: bool = True,
     batch: int = 512,
+    keep_seeds: bool = False,
 ):
     """reads -> JumpBatch (compute_sv_jumps, computeSvJumps.py:6-122):
-    device minimizer seeding + lumping + SoC, host feasible-SoC extraction,
-    rectangle reseeding, maximal extension, then ONE vectorized jump
-    enumeration over all reads' seed unions (msv/jumps_batch.py — the
-    scale path; per-object compute_jumps stays as the oracle)."""
-    from ma_tpu.msv.jumps_batch import jumps_from_seed_csr
+    device minimizer seeding + lumping + SoC, then the enumeration front
+    end (feasible-SoC extraction, rectangle reseeding, maximal extension,
+    per-read union) in ONE C++ call per batch (native/sv_enum.cpp; the
+    Python modules below stay as the oracles — MA_TPU_SV_ENUM=python), then
+    ONE vectorized jump enumeration over all reads' seed unions
+    (msv/jumps_batch.py; per-object compute_jumps stays as the oracle)."""
+    import os
 
+    from ma_tpu.msv.jumps_batch import jumps_from_seed_csr
+    from ma_tpu.native import sv_enum as sv_enum_native
+
+    use_native = (
+        os.environ.get("MA_TPU_SV_ENUM", "native") != "python"
+        and sv_enum_native.available()
+    )
     mmi_dev = mmi.to_device()
     cst = jnp.asarray(np.asarray(pack.starts, np.int32))
     rlf = pack.unpacked_size_forward_strand
-    all_seeds: List[tuple] = []
+    col_q: List[np.ndarray] = []
+    col_l: List[np.ndarray] = []
+    col_r: List[np.ndarray] = []
+    col_fw: List[np.ndarray] = []
+    col_nt: List[np.ndarray] = []
     read_off = [0]
+    total = 0
     qlens: List[int] = []
     read_ids: List[int] = []
     for s in range(0, len(reads), batch):
@@ -165,6 +180,24 @@ def compute_sv_jumps_batch(
             sv_seed_stage(mmi_dev, cst, rlf, seqs, lens, k=mmi.k, w=mmi.w,
                           max_occ=max_occ, min_seed_len=min_seed_len)
         )
+        if use_native:
+            oq, ol, orr, ofw, ont, cnt = sv_enum_native.enumerate_batch(
+                soc, seqs, lens, pack, min_nt_in_soc, soc_height, do_reseed,
+            )
+            col_q.append(oq)
+            col_l.append(ol)
+            col_r.append(orr)
+            col_fw.append(ofw)
+            col_nt.append(ont)
+            for b in range(B):
+                c = int(cnt[b])
+                if c == 0:
+                    continue
+                total += c
+                read_off.append(total)
+                qlens.append(len(chunk[b]))
+                read_ids.append(s + b)
+            continue
         for b in range(B):
             # per-SoC reseeding, then jumps over the UNION of the feasible
             # SoCs' seeds (RecursiveReseedingSoCs reduces the SeedsSet back
@@ -182,16 +215,70 @@ def compute_sv_jumps_batch(
             if not union:
                 continue
             union = sorted(set(union))
-            all_seeds.extend(union)
-            read_off.append(len(all_seeds))
+            arr = np.asarray(union, np.int64).reshape(-1, 5)
+            col_q.append(arr[:, 0])
+            col_l.append(arr[:, 1])
+            col_r.append(arr[:, 2])
+            col_fw.append(arr[:, 3].astype(bool))
+            col_nt.append(arr[:, 4])
+            total += len(union)
+            read_off.append(total)
             qlens.append(len(chunk[b]))
             read_ids.append(s + b)
-    arr = np.asarray(all_seeds, np.int64).reshape(-1, 5)
-    return jumps_from_seed_csr(
-        arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3].astype(bool), arr[:, 4],
+    cat = lambda xs, dt: (
+        np.concatenate(xs) if xs else np.zeros(0, dt)
+    )
+    cq, cl, cr = cat(col_q, np.int64), cat(col_l, np.int64), cat(col_r, np.int64)
+    cfw, cnt_ = cat(col_fw, bool), cat(col_nt, np.int64)
+    jb = jumps_from_seed_csr(
+        cq, cl, cr, cfw, cnt_,
         np.asarray(read_off, np.int64), np.asarray(qlens, np.int64),
         np.asarray(read_ids, np.int64), params=params,
     )
+    if keep_seeds:
+        # per-read seed unions for the viewer (seeds_for_reads)
+        jb.read_seeds = {
+            int(read_ids[i]): [
+                (int(cq[m]), int(cl[m]), int(cr[m]), bool(cfw[m]), int(cnt_[m]))
+                for m in range(read_off[i], read_off[i + 1])
+            ]
+            for i in range(len(read_ids))
+        }
+    return jb
+
+
+def seeds_for_reads(
+    reads: Sequence[NucSeq],
+    pack: Pack,
+    mmi: MinimizerIndex,
+    read_ids: Sequence[int],
+    min_seed_len: int = 18,
+    max_occ: int = 10000,
+    min_nt_in_soc: int = 25,
+    soc_height: int = 0,
+    do_reseed: bool = True,
+    max_seeds_per_read: int = 200,
+):
+    """Per-read seed unions for the viewer's dot-plots (the bokeh
+    renderer's seed-fetch role, sv_visualization/renderer/*): re-runs the
+    enumeration front end on just `read_ids` and returns
+    {read_id: [(q, l, r, fw), ...]} (longest `max_seeds_per_read` kept —
+    the renderer_speedup.cpp decimation role)."""
+    ids = [i for i in read_ids if 0 <= i < len(reads)]
+    if not ids:
+        return {}
+    sel = [reads[i] for i in ids]
+    jb = compute_sv_jumps_batch(
+        sel, pack, mmi, min_seed_len=min_seed_len, max_occ=max_occ,
+        min_nt_in_soc=min_nt_in_soc, soc_height=soc_height,
+        do_reseed=do_reseed, keep_seeds=True,
+    )
+    out = {}
+    for local_id, seeds in jb.read_seeds.items():
+        if len(seeds) > max_seeds_per_read:
+            seeds = sorted(seeds, key=lambda s: -s[1])[:max_seeds_per_read]
+        out[ids[local_id]] = [(q, l, r, bool(fw)) for (q, l, r, fw, _) in seeds]
+    return out
 
 
 def compute_sv_jumps(
