@@ -367,11 +367,18 @@ def run_alignment(
     dt = time.perf_counter() - t0
     print(f"\rdone. {n} reads in {dt:.1f}s ({n / max(dt, 1e-9):.0f} reads/s)",
           file=sys.stderr)
-    if aligner.n_overflow_reads:
+    if aligner.n_rescued_reads:
         print(
-            f"warning: {aligner.n_overflow_reads} reads overflowed a "
-            "fixed-shape capacity (seed slots / minimizer lanes / SoC "
-            "window); their alignments may use a truncated seed set",
+            f"{aligner.n_rescued_reads} reads overflowed a fixed-shape "
+            "capacity and were re-aligned through the boosted rescue stage",
+            file=sys.stderr,
+        )
+    if aligner.n_overflow_reads > aligner.n_rescued_reads:
+        print(
+            f"warning: {aligner.n_overflow_reads - aligner.n_rescued_reads} "
+            "reads overflowed a fixed-shape capacity (seed slots / "
+            "minimizer lanes / SoC window) and were not rescued; their "
+            "alignments may use a truncated seed set",
             file=sys.stderr,
         )
     if aligner.profiler is not None:

@@ -36,45 +36,78 @@ from ma_tpu.ops.hash_seeding import reseed_gaps
 from ma_tpu.ops.soc import soc_collect
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _sv_seed_run(k, w, max_occ, min_seed_len, mmi, cst, rlf, sq, ln):
+    # module-level jit: one compile per (k, w, occ, len, shapes) — defining
+    # this inside sv_seed_stage created a fresh jit object per batch, which
+    # recompiled the whole stage every 512 reads (~9.6 s/chunk on the
+    # tunnel vs ~0.1 s steady state)
+    seeds = minimizer_seeding(
+        mmi, sq, ln, cst, rlf, k=k, w=w, max_occ=max_occ,
+        max_seeds=2048, rectangular=False,
+    )
+    seeds = seed_lump(seeds)
+    seeds = min_length(seeds, min_seed_len)
+    return soc_collect(seeds, ln, cst, rectangular=False, max_socs=64)
+
+
 def sv_seed_stage(mmi_dev, contig_starts, ref_len_forward, seqs, lens,
                   k: int = 15, w: int = 10, max_occ: int = 10000,
                   min_seed_len: int = 18):
     """Device stage: minimizer seeds -> lumping -> min length (the
     MMFilteredSeeding + SeedLumping part of computeSvJumps.py:52-86)."""
+    return _sv_seed_run(k, w, max_occ, min_seed_len, mmi_dev, contig_starts,
+                        ref_len_forward, jnp.asarray(seqs),
+                        jnp.asarray(lens, jnp.int32))
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-    def run(k, w, max_occ, min_seed_len, mmi, cst, rlf, sq, ln):
-        seeds = minimizer_seeding(
-            mmi, sq, ln, cst, rlf, k=k, w=w, max_occ=max_occ,
-            max_seeds=2048, rectangular=False,
+
+@jax.jit
+def _soc_used_hi(valid, end, n_socs):
+    """Highest used seed slot across the batch (populated lanes + every
+    in-range SoC window end) — the download slices to this, pow2-rounded."""
+    slot = jnp.max(
+        jnp.where(
+            valid,
+            jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1) + 1,
+            0,
         )
-        seeds = seed_lump(seeds)
-        seeds = min_length(seeds, min_seed_len)
-        soc = soc_collect(seeds, ln, cst, rectangular=False, max_socs=64)
-        return soc
-
-    return run(k, w, max_occ, min_seed_len, mmi_dev, contig_starts,
-               ref_len_forward, jnp.asarray(seqs), jnp.asarray(lens, jnp.int32))
+    )
+    ci = jax.lax.broadcasted_iota(jnp.int32, end.shape, 1)
+    ehi = jnp.max(jnp.where(ci < n_socs[:, None], end, 0))
+    return jnp.maximum(slot, ehi)
 
 
 class SocHost:
     """One-shot host copy of a SoCBatch — feasible_socs indexes numpy
     arrays instead of device slices (a per-read device slice costs a
     ~15 ms tunnel round trip; x10 fields x reads it dominated the whole
-    SV pipeline)."""
+    SV pipeline). The seed columns are sliced to the populated pow2 prefix
+    before download (typically 256-512 of 2048 slots) — the raw [B, 2048]
+    x5 transfer was ~0.4 s/chunk on the tunnel."""
 
     __slots__ = ("q", "l", "r", "fw", "va", "starts", "ends", "scores",
                  "n_socs")
 
     def __init__(self, soc):
-        import jax
-
         sd = soc.seeds
-        (self.q, self.l, self.r, self.fw, self.va, self.starts, self.ends,
-         self.scores, self.n_socs) = jax.device_get(
-            (sd.q_start, sd.length, sd.ref_start, sd.on_forward, sd.valid,
-             soc.start, soc.end, soc.score, soc.n_socs)
+        S = int(sd.valid.shape[1])
+        hi = int(_soc_used_hi(sd.valid, soc.end, soc.n_socs))
+        Sh = 128
+        while Sh < hi:
+            Sh *= 2
+        Sh = min(Sh, S)
+        arrs = (
+            sd.q_start[:, :Sh], sd.length[:, :Sh], sd.ref_start[:, :Sh],
+            sd.on_forward[:, :Sh], sd.valid[:, :Sh],
+            soc.start, soc.end, soc.score, soc.n_socs,
         )
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        (self.q, self.l, self.r, self.fw, self.va, self.starts, self.ends,
+         self.scores, self.n_socs) = jax.device_get(arrs)
 
 
 def feasible_socs(
@@ -165,7 +198,7 @@ def compute_sv_jumps_batch(
     total = 0
     qlens: List[int] = []
     read_ids: List[int] = []
-    for s in range(0, len(reads), batch):
+    def _dispatch(s):
         chunk = reads[s : s + batch]
         B = len(chunk)
         L = 32
@@ -176,10 +209,19 @@ def compute_sv_jumps_batch(
         for i, r in enumerate(chunk):
             seqs[i, : len(r)] = r.codes
             lens[i] = len(r)
-        soc = SocHost(
-            sv_seed_stage(mmi_dev, cst, rlf, seqs, lens, k=mmi.k, w=mmi.w,
-                          max_occ=max_occ, min_seed_len=min_seed_len)
-        )
+        dev = sv_seed_stage(mmi_dev, cst, rlf, seqs, lens, k=mmi.k, w=mmi.w,
+                            max_occ=max_occ, min_seed_len=min_seed_len)
+        return s, chunk, seqs, lens, dev
+
+    starts = list(range(0, len(reads), batch))
+    pending = _dispatch(starts[0]) if starts else None
+    for idx in range(len(starts)):
+        s, chunk, seqs, lens, dev = pending
+        # enqueue the NEXT chunk's device stage before syncing this one:
+        # its compute overlaps this chunk's download + host enumeration
+        pending = _dispatch(starts[idx + 1]) if idx + 1 < len(starts) else None
+        soc = SocHost(dev)
+        B = len(chunk)
         if use_native:
             oq, ol, orr, ofw, ont, cnt = sv_enum_native.enumerate_batch(
                 soc, seqs, lens, pack, min_nt_in_soc, soc_height, do_reseed,

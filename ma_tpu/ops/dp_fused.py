@@ -12,8 +12,10 @@ HBM and walks it with a lax.while_loop whose per-step 3-D gather
 0.6-1.0 s per bucket call, 87% of the round-2 pipeline wall time. Here a
 block of problems lives entirely in VMEM:
 
-* forward: one row per loop step, all state ([PB, N] planes) in VMEM,
-  direction bytes into a [M, PB, N] int8 VMEM scratch — never to HBM;
+* forward: one row per loop step, computed in TJ=128-lane TILES restricted
+  to the block's live band window (see the tiled-sweep comment in _kernel)
+  with all persistent state ([PB, N] planes) in VMEM, direction bytes into
+  a [M, PB, N] int8 VMEM scratch — never to HBM;
 * traceback: runs IN THE SAME KERNEL, vectorized across the problem block
   (lanes = reference positions, sublanes = problems). Each query row is
   visited exactly once (M/I moves leave a row immediately; D runs stay
@@ -144,118 +146,197 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
 
     m_max = jnp.max(meta_ref[:, 0:1])
 
-    # =================================================== forward row sweep
-    def fwd_row(i, _):
-        h_prev = hp_ref[:]
-        f1p = f1_ref[:]
-        f2p = f2_ref[:]
+    # ============================= forward row sweep, lane-tiled (v5 rework)
+    # Rows are processed in TJ-lane tiles restricted to the block's live
+    # window [i - w_blk - 1, min(n_blk - 1, i + w_blk)]: lanes outside any
+    # problem's band/target never touch the VPU, which is the difference
+    # between O(M*N) and O(M*band) work when band << N (the band-local
+    # economics kswcpp gets from its st/en tracking, kswcpp_core.h). Tile
+    # temporaries are a few VREGs instead of [PB, N] planes, so the chain
+    # stays register-resident instead of round-tripping VMEM per op.
+    # Cross-tile state is carried as [PB, 1] columns: the previous row's h
+    # at the tile boundary (diag fill), the running scan values/maxima of
+    # v1/v2 (exact continuations of the full-width cummax — includes the
+    # virtual-column open, which dominates the carry across skipped tiles),
+    # and the packed row-max accumulator.
+    TJ = 128 if (N % 128 == 0 and N > 128) else N
+    n_tiles = N // TJ
+    w_blk = jnp.max(meta_ref[:, 2:3])
+    n_blk = jnp.max(meta_ref[:, 1:2])
+    jt0 = jax.lax.broadcasted_iota(jnp.int32, (PB, TJ), 1)
+
+    ext_book = not (is_global and zdrop < 0)
+
+    def fwd_row(i, is_first: bool):
         dropped = book_ref[:, _DROP : _DROP + 1] != 0
-        # i1 masks cannot relayout between the int32 (8, 128) and int16
-        # (16, 128) tilings on Mosaic, so any [PB, N] mask that selects
-        # sdt values is computed FROM sdt comparisons (valid_s), while the
-        # int32 bookkeeping keeps its own int32-derived twin (valid).
-        valid = (jj < n) & (i < m) & (jnp.abs(i - jj) <= w)
-        if sdt == jnp.int32:
-            valid_s = valid
-        else:
-            n_s = n.astype(sdt)
-            m_s = m.astype(sdt)
-            w_s = jnp.minimum(w, 1 << 14).astype(sdt)
-            i_s = jnp.broadcast_to(i, (PB, 1)).astype(sdt)
-            di_s = (i - jj).astype(sdt)
-            valid_s = (jj_s < n_s) & (i_s < m_s) & (jnp.abs(di_s) <= w_s)
-        jj_pos = jj_s > 0
-
-        h_up = jnp.where(
-            i == 0, jnp.where(jj_pos, gap_cost_s(jj_s), NEG_S), h_prev
-        )
-        nf1 = jnp.maximum(h_up - (go1 + ge1), f1p - ge1)
-        nf2 = jnp.maximum(h_up - (go2 + ge2), f2p - ge2)
-        # continuation bits feed where(mask, const, const) selects, whose
-        # masks Mosaic requires in replicated layout — i16-derived i1
-        # vectors cannot relayout there, so these compares run in int32
-        f1p32 = f1p.astype(jnp.int32)
-        f2p32 = f2p.astype(jnp.int32)
-        h_up32 = h_up.astype(jnp.int32)
-        cf1 = f1p32 - ge1 >= h_up32 - (go1 + ge1)
-        cf2 = f2p32 - ge2 >= h_up32 - (go2 + ge2)
-
-        h_prev_r = _shift_right(h_prev, NEG_S)
-        gci = splat_s(gap_cost(i))  # [PB, 1] sdt
-        diag = jnp.where(
-            i == 0,
-            jnp.where(jj_pos, gap_cost_s(jj_s), 0),
-            jnp.where(jj_pos, h_prev_r, gci),
-        )
+        not_dropped = ~dropped
         qc = _sel_lane(q_ref[:], jnp.full((PB, 1), i, jnp.int32))  # [PB, 1]
-        tc = t_ref[:]
-        sc32 = jnp.where(
-            (qc >= 4) | (tc >= 4), 0,
-            jnp.where(qc == tc, params.match, -params.mismatch),
+        qn = qc >= 4
+        virt32 = jnp.where(i > 0, gap_cost(i), NEG_S)  # scalar int32
+
+        t_lo = jnp.maximum(i - w_blk - 1, 0) // TJ
+        j_hi = jnp.minimum(n_blk - 1, i + w_blk)
+        t_hi = jnp.minimum(j_hi // TJ + 1, n_tiles)
+
+        # exact carries entering the first processed tile (lanes to its
+        # left are invalid at rows i and i-1 by the 1-lane-generous t_lo)
+        first0 = t_lo == 0
+        jb = t_lo * TJ  # first lane of the first tile
+        c_hp = splat_s(jnp.where(first0, gap_cost(i), NEG_S))
+        c_v1 = splat_s(jnp.where(first0, virt32 - ge1, NEG_S + ge1 * (jb - 1)))
+        c_v2 = splat_s(jnp.where(first0, virt32 - ge2, NEG_S + ge2 * (jb - 1)))
+        c_a1 = splat_s(
+            jnp.where(
+                first0, NEG_S,
+                jnp.maximum(virt32 - ge1, NEG_S + ge1 * (jb - 2)),
+            )
         )
-        hd = diag + sc32.astype(sdt)
-
-        h0 = jnp.where(valid_s, jnp.maximum(hd, jnp.maximum(nf1, nf2)), NEG_S)
-        virt = splat_s(jnp.where(i > 0, gap_cost(i), NEG_S))  # [PB, 1]
-
-        v1 = _shift_right(h0 + ge1 * jj_s, virt - ge1)
-        e1 = _cummax_lanes(v1) - go1 - ge1 * jj_s
-        v2 = _shift_right(h0 + ge2 * jj_s, virt - ge2)
-        e2 = _cummax_lanes(v2) - go2 - ge2 * jj_s
-
-        open_src = _shift_right(h0, virt)
-        open32 = open_src.astype(jnp.int32)
-        ce1 = _shift_right(e1, NEG_S).astype(jnp.int32) - ge1 >= open32 - (go1 + ge1)
-        ce2 = _shift_right(e2, NEG_S).astype(jnp.int32) - ge2 >= open32 - (go2 + ge2)
-
-        # source selection in int32 (masks here feed const/const selects
-        # too); the heavy cummax/max chains above stay in sdt
-        h32r = hd.astype(jnp.int32)
-        src = jnp.zeros((PB, N), jnp.int32)
-        h = hd
-        for cand, code in ((e1, SRC_E1), (nf1, SRC_F1), (e2, SRC_E2), (nf2, SRC_F2)):
-            c32 = cand.astype(jnp.int32)
-            better = c32 > h32r
-            h32r = jnp.maximum(h32r, c32)
-            h = jnp.maximum(h, cand)
-            src = jnp.where(better, code, src)
-        h = jnp.where(valid_s, h, NEG_S)
-
-        dirbyte = (
-            src
-            | jnp.where(ce1, CONT_E1, 0)
-            | jnp.where(cf1, CONT_F1, 0)
-            | jnp.where(ce2, CONT_E2, 0)
-            | jnp.where(cf2, CONT_F2, 0)
+        c_a2 = splat_s(
+            jnp.where(
+                first0, NEG_S,
+                jnp.maximum(virt32 - ge2, NEG_S + ge2 * (jb - 2)),
+            )
         )
-        dirs_ref[pl.ds(i, 1)] = dirbyte.astype(jnp.int8)[None]
+        rp0 = jnp.full((PB, 1), NEG, jnp.int32)  # packed row-max accum
+        sc0 = jnp.full((PB, 1), NEG, jnp.int32)  # end-cell score accum
 
-        # ---- bookkeeping (per-lane; int32 — tiny [PB, 1] planes) ----
-        h32 = h.astype(jnp.int32)
-        h32 = jnp.where(valid, h32, NEG)  # NEG_S would leak a finite score
-        scr = book_ref[:, _SCR : _SCR + 1]
-        at_last = i == m - 1
-        has_end = jnp.sum(
-            jnp.where(valid & (jj == n - 1), 1, 0), axis=1, keepdims=True
-        ) > 0
-        h_end = _sel_lane(h32, jnp.clip(n - 1, 0, N - 1))
-        book_ref[:, _SCR : _SCR + 1] = jnp.where(at_last & has_end, h_end, scr)
+        def tile_body(t, carry):
+            (c_hp, c_v1, c_v2, c_a1, c_a2, rowpack, scrrun) = carry
+            j0 = t * TJ
+            jj = jt0 + j0
+            jj_s = jj.astype(sdt)
+            h_prev_t = hp_ref[:, pl.ds(j0, TJ)]
+            f1p = f1_ref[:, pl.ds(j0, TJ)]
+            f2p = f2_ref[:, pl.ds(j0, TJ)]
+            n_hp = h_prev_t[:, TJ - 1 :]  # stash before overwrite
 
-        # global + no z-drop (the gap-fill bucket) never reads the running
-        # max/argmax: the whole per-row reduction block drops statically
-        if not (is_global and zdrop < 0):
+            valid = (jj < n) & (i < m) & (jnp.abs(i - jj) <= w)
+            if sdt == jnp.int32:
+                valid_s = valid
+            else:
+                n_s = n.astype(sdt)
+                m_s = m.astype(sdt)
+                w_s = jnp.minimum(w, 1 << 14).astype(sdt)
+                i_s = jnp.broadcast_to(i, (PB, 1)).astype(sdt)
+                di_s = (i - jj).astype(sdt)
+                valid_s = (jj_s < n_s) & (i_s < m_s) & (jnp.abs(di_s) <= w_s)
+
+            if is_first:
+                jj_pos = jj_s > 0
+                h_up = jnp.where(jj_pos, gap_cost_s(jj_s), NEG_S)
+                diag = jnp.where(jj_pos, gap_cost_s(jj_s), 0)
+            else:
+                h_up = h_prev_t
+                # diag: previous row shifted right; the tile-0 fill is the
+                # virtual column gap_cost(i) (folded into c_hp)
+                diag = _shift_right(h_prev_t, c_hp)
+
+            t1 = f1p - ge1
+            t2 = h_up - (go1 + ge1)
+            nf1 = jnp.maximum(t1, t2)
+            cf1 = t1.astype(jnp.int32) >= t2.astype(jnp.int32)
+            t3 = f2p - ge2
+            t4 = h_up - (go2 + ge2)
+            nf2 = jnp.maximum(t3, t4)
+            cf2 = t3.astype(jnp.int32) >= t4.astype(jnp.int32)
+
+            tc = t_ref[:, pl.ds(j0, TJ)]
+            sc32 = jnp.where(
+                qn | (tc >= 4), 0,
+                jnp.where(qc == tc, params.match, -params.mismatch),
+            )
+            hd = diag + sc32.astype(sdt)
+            h0 = jnp.where(
+                valid_s, jnp.maximum(hd, jnp.maximum(nf1, nf2)), NEG_S
+            )
+
+            v1 = _shift_right(h0 + ge1 * jj_s, c_v1)
+            a1 = jnp.maximum(_cummax_lanes(v1), c_a1)
+            e1 = a1 - go1 - ge1 * jj_s
+            # cont bit: e1(j-1) - ge1 >= h0(j-1) - go1 - ge1  <=>
+            # A(j-1) >= v1(j)  (both sides share the +ge1*(j-1) offset)
+            ce1 = (
+                _shift_right(a1, c_a1).astype(jnp.int32)
+                >= v1.astype(jnp.int32)
+            )
+            v2 = _shift_right(h0 + ge2 * jj_s, c_v2)
+            a2 = jnp.maximum(_cummax_lanes(v2), c_a2)
+            e2 = a2 - go2 - ge2 * jj_s
+            ce2 = (
+                _shift_right(a2, c_a2).astype(jnp.int32)
+                >= v2.astype(jnp.int32)
+            )
+
+            h32r = hd.astype(jnp.int32)
+            src = jnp.zeros((PB, TJ), jnp.int32)
+            h = hd
+            for cand, code in (
+                (e1, SRC_E1), (nf1, SRC_F1), (e2, SRC_E2), (nf2, SRC_F2)
+            ):
+                c32 = cand.astype(jnp.int32)
+                better = c32 > h32r
+                h32r = jnp.maximum(h32r, c32)
+                h = jnp.maximum(h, cand)
+                src = jnp.where(better, code, src)
+            h = jnp.where(valid_s, h, NEG_S)
+
+            dirbyte = (
+                src
+                | jnp.where(ce1, CONT_E1, 0)
+                | jnp.where(cf1, CONT_F1, 0)
+                | jnp.where(ce2, CONT_E2, 0)
+                | jnp.where(cf2, CONT_F2, 0)
+            )
+            dirs_ref[pl.ds(i, 1), :, pl.ds(j0, TJ)] = dirbyte.astype(
+                jnp.int8
+            )[None]
+
+            hp_ref[:, pl.ds(j0, TJ)] = h
+            f1_ref[:, pl.ds(j0, TJ)] = nf1
+            f2_ref[:, pl.ds(j0, TJ)] = nf2
+
+            if ext_book or is_global:
+                h32 = jnp.where(valid, h.astype(jnp.int32), NEG)
+            if ext_book:
+                hm = jnp.where(valid & not_dropped, h32, SENT)
+                packed = jnp.max(
+                    hm * 2048 + (2047 - jj), axis=1, keepdims=True
+                )
+                rowpack = jnp.maximum(rowpack, packed)
+            if is_global:
+                endc = jnp.max(
+                    jnp.where(valid & (jj == n - 1) & (i == m - 1), h32, NEG),
+                    axis=1, keepdims=True,
+                )
+                scrrun = jnp.maximum(scrrun, endc)
+
+            # carries for the next tile
+            c_hp = n_hp
+            hv = h0[:, TJ - 1 :]
+            lastj = j0 + TJ - 1
+            c_v1 = hv + ge1 * lastj.astype(sdt)
+            c_v2 = hv + ge2 * lastj.astype(sdt)
+            c_a1 = a1[:, TJ - 1 :]
+            c_a2 = a2[:, TJ - 1 :]
+            return (c_hp, c_v1, c_v2, c_a1, c_a2, rowpack, scrrun)
+
+        (c_hp, c_v1, c_v2, c_a1, c_a2, rowpack, scrrun) = jax.lax.fori_loop(
+            t_lo, t_hi, tile_body,
+            (c_hp, c_v1, c_v2, c_a1, c_a2, rp0, sc0),
+        )
+
+        # ---- per-row bookkeeping (all [PB, 1]) ----
+        if is_global:
+            book_ref[:, _SCR : _SCR + 1] = jnp.where(
+                scrrun > NEG, scrrun, book_ref[:, _SCR : _SCR + 1]
+            )
+        if ext_book:
             gmax = book_ref[:, _GMAX : _GMAX + 1]
             gi = book_ref[:, _GI : _GI + 1]
             gj = book_ref[:, _GJ : _GJ + 1]
             gd = book_ref[:, _GD : _GD + 1]
-            # ONE packed reduction delivers (row max, leftmost argmax):
-            # v = h * 2048 + (2047 - j); max(v) -> h = v >> 11, j = 2047 - low
-            # (|h| <= ~6k at the fused buckets, j < 2048, so no overflow);
-            # the -inf sentinel clamps to SENT so the product stays in int32
-            hm = jnp.where(valid & ~dropped, h32, SENT)
-            packed = jnp.max(hm * 2048 + (2047 - jj), axis=1, keepdims=True)
-            rmax = packed >> 11
-            rarg = 2047 - (packed & 2047)
+            rmax = rowpack >> 11
+            rarg = 2047 - (rowpack & 2047)
             at_last_row = i == m - 1
             book_ref[:, _LRMAX : _LRMAX + 1] = jnp.where(
                 at_last_row, rmax, book_ref[:, _LRMAX : _LRMAX + 1]
@@ -265,7 +346,7 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
             )
             upd = (
                 (rmax > gmax) | ((rmax == gmax) & (gi >= 0) & (i + rarg < gd))
-            ) & ~dropped & (rmax > SENT)
+            ) & not_dropped & (rmax > SENT)
             book_ref[:, _GMAX : _GMAX + 1] = jnp.where(upd, rmax, gmax)
             book_ref[:, _GI : _GI + 1] = jnp.where(upd, i, gi)
             book_ref[:, _GJ : _GJ + 1] = jnp.where(upd, rarg, gj)
@@ -275,18 +356,17 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
                 gi2 = book_ref[:, _GI : _GI + 1]
                 gj2 = book_ref[:, _GJ : _GJ + 1]
                 diff = jnp.abs((i - gi2) - (rarg - gj2))
-                has = (jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True) > 0) & (
-                    gi2 >= 0
-                )
+                # row i has a valid lane iff i < m and the band window
+                # intersects [0, n): max(0, i-w) <= min(n-1, i+w)
+                has = (i < m) & (i <= n - 1 + w) & (gi2 >= 0)
                 ndrop = dropped | (has & (gmax2 - rmax > zdrop + diff * ge1))
                 book_ref[:, _DROP : _DROP + 1] = ndrop.astype(jnp.int32)
-
-        hp_ref[:] = h
-        f1_ref[:] = nf1
-        f2_ref[:] = nf2
         return 0
 
-    jax.lax.fori_loop(0, m_max, fwd_row, 0, unroll=False)
+    fwd_row(jnp.int32(0), True)
+    jax.lax.fori_loop(
+        1, m_max, lambda i, _: fwd_row(i, False), 0, unroll=False
+    )
     # normalize the row-sentinel back to NEG for host consumers (nw.py
     # chunked extension reads lastrow_max) and the lr_ok check below
     lr_raw = book_ref[:, _LRMAX : _LRMAX + 1]
@@ -340,6 +420,14 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
 
     def tb_row(carry):
         i, _ = carry
+        # NOTE on the tiled forward: lanes of this row OUTSIDE the band
+        # window hold stale bytes (from init or a previous grid block).
+        # They are never consulted: the path only visits reachable (finite-
+        # score) cells, whose recorded sources point at other reachable
+        # cells, all inside the window; and the D-run stop search below
+        # takes the RIGHTMOST cont-clear lane <= j — a real run always
+        # terminates at its in-window gap-open cell (whose cont bit is
+        # clear by construction), so garbage further left cannot win.
         row = dirs_ref[pl.ds(i, 1)][0].astype(jnp.int32)  # [PB, N]
 
         # reset per-row moved flags: lanes not active in this row count as

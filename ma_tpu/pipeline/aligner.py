@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import IO, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -92,15 +93,23 @@ class DeviceStageConfig:
     max_out_sets: int = 8
 
     @classmethod
-    def from_params(cls, pset: ParameterSet, padded_len: int) -> "DeviceStageConfig":
+    def from_params(
+        cls, pset: ParameterSet, padded_len: int, cap_boost: int = 1
+    ) -> "DeviceStageConfig":
+        """`cap_boost` multiplies the per-read capacity knobs (seed slots,
+        SoC window width, segment slots) for the overflow-rescue pass —
+        reads the normal shapes truncated re-run through a roomier stage
+        (the reference has no truncation at all: binarySeeding.h:544-547
+        recursion is unbounded)."""
         g = pset.get
         L = padded_len
+        cb = max(int(cap_boost), 1)
         max_socs = int(g("Maximal Number of SoCs"))
         return cls(
             seeding_technique=str(g("Seeding Technique")),
             mm_k=int(g("Minimizers - k")),
             mm_w=int(g("Minimizers - w")),
-            max_segs=_next_pow2(max(64, L // 4)),
+            max_segs=_next_pow2(max(64, cb * (L // 4))),
             # expected short-read seed count is ~2L/(w+1) minimizers x small
             # mean occurrence — L slots is already ~7x headroom at L=160
             # (the SeedBatch overflow flag marks the rare loss); every
@@ -108,13 +117,13 @@ class DeviceStageConfig:
             # Very long reads cap at 8192 slots (~1.4x the expected 2L/11
             # minimizer count at 32 kb): uncapped, the 32k-slot device
             # stage OOM-kills the XLA compile helper
-            max_seeds=min(_next_pow2(max(256, L)), 8192),
+            max_seeds=min(_next_pow2(max(256, L) * cb), 8192 * cb),
             max_socs_collect=_next_pow2(max(32, max_socs), lo=32),
             # a strip on a short read usually holds ~2L/(w+1) seeds, but
             # multi-occurrence minimizers on tandem repeats push windows to
             # >32 at L=160 (ADVICE r3 measured 63); keep 64 minimum, and
             # _batch_overflow flags any read whose window still exceeds it
-            seeds_per_soc=min(_next_pow2(max(64, L // 8), lo=64), 2048),
+            seeds_per_soc=min(_next_pow2(max(64, L // 8) * cb, lo=64), 2048 * cb),
             min_seed_len=int(g("Minimal Seed Length")),
             min_ambiguity=int(g("Minimal Ambiguity")),
             max_ambiguity=int(g("Maximal Ambiguity")),
@@ -463,6 +472,12 @@ class Aligner:
         # slots, minimizer lanes, or SoC windows > seeds_per_soc) — the
         # overflow consumer ADVICE r3 asked for; surfaced by the CLI
         self.n_overflow_reads = 0
+        # overflow rescue (VERDICT r4 #7): flagged reads re-align through a
+        # cap_boost'ed device stage instead of keeping truncated results
+        self.cap_boost = 1
+        self.rescue_overflow = os.environ.get("MA_TPU_RESCUE", "1") == "1"
+        self.n_rescued_reads = 0
+        self._in_rescue = False
 
     @property
     def text_dev(self):
@@ -582,7 +597,9 @@ class Aligner:
         The packed meta + a fixed-cap prefix of the packed data start their
         device->host copies immediately (copy_to_host_async), so the tunnel
         transfer overlaps the host work between dispatch and plan_batch."""
-        cfg = DeviceStageConfig.from_params(self.pset, seqs.shape[1])
+        cfg = DeviceStageConfig.from_params(
+            self.pset, seqs.shape[1], cap_boost=self.cap_boost
+        )
         seqs_j = self._upload_codes(seqs)
         lens_j = jnp.asarray(lens, jnp.int32)
         if cfg.seeding_technique == "minimizers":
@@ -617,11 +634,19 @@ class Aligner:
         return (harm, soc, data, meta, data_head, seqs_j)
 
     # ------------------------------------------------------------------- host
-    def align_batch(self, reads: Sequence[NucSeq]) -> List[List[Alignment]]:
-        """Align a batch of reads (any lengths; padded to one bucket)."""
+    def align_batch(
+        self, reads: Sequence[NucSeq], pad_to: int = 0
+    ) -> List[List[Alignment]]:
+        """Align a batch of reads (any lengths; padded to one bucket).
+        `pad_to` pads the batch dim with empty rows (rescue passes use a
+        fixed small batch so the boosted stage compiles once)."""
         if not reads:
             return []
         B = len(reads)
+        if pad_to:
+            while pad_to < B:
+                pad_to *= 2
+            B = pad_to
         L = _next_pow2(max(len(r) for r in reads))
         seqs = np.full((B, L), 4, np.uint8)
         lens = np.zeros(B, np.int32)
@@ -657,9 +682,10 @@ class Aligner:
             hsoc = meta[1].reshape(B, G).astype(np.int32)
             hn = meta[2].reshape(B, G).astype(np.int32)
             if meta.shape[0] > 3:  # overflow consumer (ADVICE r3)
-                self.n_overflow_reads += int(
-                    meta[3].reshape(B, G)[:, 0].astype(bool).sum()
-                )
+                oflags = meta[3].reshape(B, G)[:, 0].astype(bool)
+                nw.overflow_flags = oflags
+                if not self._in_rescue:
+                    self.n_overflow_reads += int(oflags.sum())
             total = int(hn.sum())
             if data_head is not None and total <= data_head.shape[1]:
                 # common case: the fixed-cap prefix whose d2h copy was
@@ -971,11 +997,40 @@ class Aligner:
         nw._problems.append(p)
         return nw._redo_one(len(nw._problems) - 1, is_glob)
 
+    def _maybe_rescue(self, reads, results, nw):
+        """Overflow-rescue pass (VERDICT r4 #7): reads whose fixed-shape
+        capacities truncated seeds/SoC windows re-align through a
+        cap_boost'ed device stage; their capped results are replaced. The
+        reference never truncates (binarySeeding.h:544-547)."""
+        flags = getattr(nw, "overflow_flags", None)
+        if (
+            flags is None or self._in_rescue or not self.rescue_overflow
+            or not flags.any()
+        ):
+            return results
+        idx = [int(i) for i in np.flatnonzero(flags)
+               if i < len(reads) and len(reads[i])]
+        if not idx:
+            return results
+        self._in_rescue = True
+        old = self.cap_boost
+        self.cap_boost = max(4 * old, 4)
+        try:
+            res2 = self.align_batch([reads[i] for i in idx], pad_to=32)
+            for k, i in enumerate(idx):
+                results[i] = res2[k]
+            self.n_rescued_reads += len(idx)
+        finally:
+            self.cap_boost = old
+            self._in_rescue = False
+        return results
+
     def collect_batch(self, pending) -> List[List[Alignment]]:
         """Second host half: wait for DP results, assemble alignments,
         mapping quality, small inversions."""
         if isinstance(pending, tuple) and len(pending) == 2 and pending[0] == "native":
-            return self._collect_native(pending[1])
+            res = self._collect_native(pending[1])
+            return self._maybe_rescue(pending[1][0], res, pending[1][1])
         reads, nw, plans = pending
         pset = self.pset
         with stage_timer(self.profiler, "device banded DP + traceback"):
@@ -988,7 +1043,9 @@ class Aligner:
                 aln.stats.index_of_strip = strip
                 aln.stats.name = reads[b].name
                 per_read[b].append(aln)
-        return self._quality_phase(reads, per_read)
+        return self._maybe_rescue(
+            reads, self._quality_phase(reads, per_read), nw
+        )
 
     def _quality_phase(self, reads, per_read) -> List[List[Alignment]]:
         """Mapping quality + small inversions (shared by both finish paths)."""
@@ -1106,8 +1163,18 @@ class Aligner:
         def collect(planned):
             nonlocal n
             bucket, state = planned
+            oflags = None
+            if isinstance(state, tuple) and len(state) == 2 and state[0] == "native":
+                oflags = getattr(state[1][1], "overflow_flags", None)
+            elif isinstance(state, tuple) and len(state) == 3:
+                oflags = getattr(state[1], "overflow_flags", None)
+            need_rescue = (
+                self.rescue_overflow and not self._in_rescue
+                and oflags is not None and bool(oflags.any())
+            )
             if (
                 sam_native
+                and not need_rescue  # rescue needs Alignment objects
                 and isinstance(state, tuple)
                 and len(state) == 2
                 and state[0] == "native"
