@@ -1,9 +1,17 @@
 """DP kernel speed-of-light check: GCUPS for the banded extension kernel
-(BASELINE.md target "DP kernel GCUPS/chip"; VERDICT r2 item #4).
+(BASELINE.md target "DP kernel GCUPS/chip"; VERDICT r4 item #2).
 
-Measures both the XLA anti-diagonal scan (the round-1 kernel) and the
-fused Pallas kernel (ops/dp_fused.py: forward + in-kernel traceback,
-CIGAR runs out) on the same workload. Run standalone on a chip."""
+Two numbers per kernel (round-5 finding: a single tunneled call carries
+~55 ms of dispatch/transfer latency that is NOT kernel time — the r4
+artifact's "2.7 GCUPS" was mostly tunnel):
+
+* single-call wall (latency-inclusive, what one isolated call costs);
+* steady-state kernel throughput from back-to-back async dispatches:
+  (wall(R calls) - wall(1 call)) / (R - 1) — the marginal cost of one
+  more kernel on a busy queue, which is what the pipeline actually pays
+  (its DP calls are dispatched asynchronously behind the device stage).
+
+Run standalone on a chip."""
 import time
 
 import numpy as np
@@ -39,24 +47,33 @@ def main():
     tlen = jnp.full(P, M + 64, jnp.int32)
     band = jnp.full(P, 512, jnp.int32)
     cells = P * M * N
-    reps = 5
+    reps = 9
 
     def bench(fn, label):
         out = fn()
         jax.block_until_ready(out)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            # materialize on host: block_until_ready alone under-reports on
-            # the tunneled backend (measured 0.1 ms for a 50 ms kernel)
-            for leaf in jax.tree.leaves(out):
-                np.asarray(leaf)
-            ts.append(time.perf_counter() - t0)
-        dt = min(ts)
-        print(f"{label}: wall={dt*1e3:7.1f} ms -> {cells/dt/1e9:7.1f} GCUPS",
-              flush=True)
-        return cells / dt / 1e9
+
+        def timed(r):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _k in range(r):
+                    out = fn()
+                for leaf in jax.tree.leaves(out):
+                    np.asarray(leaf)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t1 = timed(1)
+        tr = timed(reps)
+        k = (tr - t1) / (reps - 1)
+        print(
+            f"{label}: single-call {t1*1e3:7.1f} ms "
+            f"({cells/t1/1e9:5.1f} GCUPS) | steady-state {k*1e3:7.1f} ms "
+            f"= {cells/k/1e9:5.1f} GCUPS",
+            flush=True,
+        )
+        return cells / k / 1e9
 
     print(f"platform={jax.devices()[0].platform} P={P} M={M} N={N}")
     g_scan = bench(
@@ -70,7 +87,7 @@ def main():
         ),
         "fused pallas fwd+traceback (runs out)",
     )
-    print(f"fused/scan speedup: {g_fused / g_scan:.1f}x")
+    print(f"fused/scan steady-state speedup: {g_fused / g_scan:.1f}x")
 
 
 if __name__ == "__main__":

