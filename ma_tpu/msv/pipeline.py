@@ -62,6 +62,95 @@ def sv_seed_stage(mmi_dev, contig_starts, ref_len_forward, seqs, lens,
 
 
 @jax.jit
+def _soc_pack_csr(soc, min_nt):
+    """Device-side CSR compaction of a SoCBatch for the host transfer.
+
+    Only seeds covered by a selected SoC window (k < n_socs, score >=
+    min_nt) are ever read by the enumeration front end (feasible_socs /
+    native sv_enum walk window ranges) — so compact exactly those to a
+    flat [3, B*S] CSR buffer (q<<1|fw, l, r), remap the window bounds to
+    read-local compacted indices, and compact the windows themselves to a
+    [2, B*K] CSR (start<<16|end, score). The raw [B, 2048] x5 download was
+    ~1.3 s/chunk over the tunnel (512 reads); the populated prefixes are
+    a few hundred KB. Requires S < 32768 (16-bit window bounds)."""
+    sd = soc.seeds
+    B, S = sd.q_start.shape
+    K = soc.start.shape[1]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    sel_k = (jnp.arange(K)[None, :] < soc.n_socs[:, None]) & (
+        soc.score >= min_nt
+    )
+    st, en = soc.start, soc.end
+    cov = (
+        sel_k[:, :, None]
+        & (st[:, :, None] <= iota_s[:, None, :])
+        & (iota_s[:, None, :] < en[:, :, None])
+    ).any(axis=1)
+    keep = cov & sd.valid
+    cum = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    cum_ex = cum - keep.astype(jnp.int32)
+    cnt = cum[:, -1]
+    # window bounds -> read-local compacted ranks (exclusive-cumsum lookup
+    # via one-hot sums: minor-axis gathers serialize on TPU)
+    cum_pad = jnp.concatenate([cum_ex, cnt[:, None]], axis=1)  # [B, S+1]
+    rng_p = jnp.arange(S + 1, dtype=jnp.int32)[None, None, :]
+    new_st = jnp.where(rng_p == st[:, :, None], cum_pad[:, None, :], 0).sum(2)
+    new_en = jnp.where(rng_p == en[:, :, None], cum_pad[:, None, :], 0).sum(2)
+    # compact selected windows to the row front, then flat-CSR them
+    wkey = jnp.where(
+        sel_k, jnp.arange(K, dtype=jnp.int32)[None, :], jnp.int32(K)
+    )
+    wse = (new_st << 16) | new_en
+    _, cwse, cwsc = jax.lax.sort(
+        (wkey, wse, soc.score), num_keys=1, is_stable=True
+    )
+    wcnt = sel_k.sum(axis=1).astype(jnp.int32)
+    wvalid = (jnp.arange(K)[None, :] < wcnt[:, None]).reshape(-1)
+    wfk = jnp.where(wvalid, jnp.int32(0), jnp.int32(1))
+    _, fwse, fwsc = jax.lax.sort(
+        (wfk, cwse.reshape(-1), cwsc.reshape(-1)), num_keys=1, is_stable=True
+    )
+    wdata = jnp.stack([fwse, fwsc])
+    # seed planes: per-read prefix compaction then flat CSR (same two-level
+    # sort as the aligner's _harm_pack_core)
+    p0 = (sd.q_start.astype(jnp.int32) << 1) | sd.on_forward.astype(jnp.int32)
+    key = jnp.where(keep, iota_s, jnp.int32(S))
+    _, c0, c1, c2 = jax.lax.sort(
+        (key, p0, sd.length, sd.ref_start), num_keys=1, is_stable=True
+    )
+    N = B * S
+
+    def _flat(width):
+        def go(_):
+            w = jnp.arange(width, dtype=jnp.int32)[None, :]
+            vf = (w < cnt[:, None]).reshape(-1)
+            fk2 = jnp.where(vf, jnp.int32(0), jnp.int32(1))
+            _, s0, s1, s2 = jax.lax.sort(
+                (
+                    fk2,
+                    c0[:, :width].reshape(-1),
+                    c1[:, :width].reshape(-1),
+                    c2[:, :width].reshape(-1),
+                ),
+                num_keys=1,
+                is_stable=True,
+            )
+            out = jnp.stack([s0, s1, s2])
+            if width * B < N:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((3, N - width * B), jnp.int32)], axis=1
+                )
+            return out
+
+        return go
+
+    W = min(S, 128)
+    data = jax.lax.cond(jnp.any(cnt > W), _flat(S), _flat(W), None)
+    counts = jnp.stack([cnt, wcnt])
+    return data, wdata, counts
+
+
+@jax.jit
 def _soc_used_hi(valid, end, n_socs):
     """Highest used seed slot across the batch (populated lanes + every
     in-range SoC window end) — the download slices to this, pow2-rounded."""
@@ -88,7 +177,10 @@ class SocHost:
     __slots__ = ("q", "l", "r", "fw", "va", "starts", "ends", "scores",
                  "n_socs")
 
-    def __init__(self, soc):
+    def __init__(self, soc, min_nt: int = None):
+        if min_nt is not None and int(soc.seeds.valid.shape[1]) < 32768:
+            self._init_packed(soc, min_nt)
+            return
         sd = soc.seeds
         S = int(sd.valid.shape[1])
         hi = int(_soc_used_hi(sd.valid, soc.end, soc.n_socs))
@@ -108,6 +200,48 @@ class SocHost:
                 pass
         (self.q, self.l, self.r, self.fw, self.va, self.starts, self.ends,
          self.scores, self.n_socs) = jax.device_get(arrs)
+
+    def _init_packed(self, soc, min_nt: int):
+        """Download the window-covered seeds as a packed CSR (see
+        _soc_pack_csr) and rebuild the dense per-read arrays on the host —
+        same observable layout, ~10x fewer tunnel bytes."""
+        data, wdata, counts = _soc_pack_csr(soc, jnp.int32(min_nt))
+        counts.copy_to_host_async()
+        cn = np.asarray(counts)
+        cnt, wcnt = cn[0].astype(np.int64), cn[1].astype(np.int64)
+        total = int(cnt.sum())
+        wtotal = int(wcnt.sum())
+
+        def _pfx(arr, tot):
+            cap = 4096
+            while cap < tot:
+                cap *= 2
+            cap = min(cap, arr.shape[1])
+            return np.asarray(arr[:, :cap])
+
+        d = _pfx(data, total)
+        wd = _pfx(wdata, wtotal)
+        B = cnt.shape[0]
+        mx = max(int(cnt.max()) if B else 0, 1)
+        mask = np.arange(mx)[None, :] < cnt[:, None]
+        self.q = np.zeros((B, mx), np.int32)
+        self.l = np.zeros((B, mx), np.int32)
+        self.r = np.zeros((B, mx), np.int32)
+        self.fw = np.zeros((B, mx), bool)
+        self.q[mask] = d[0, :total] >> 1
+        self.fw[mask] = (d[0, :total] & 1).astype(bool)
+        self.l[mask] = d[1, :total]
+        self.r[mask] = d[2, :total]
+        self.va = mask
+        kx = max(int(wcnt.max()) if B else 0, 1)
+        wmask = np.arange(kx)[None, :] < wcnt[:, None]
+        self.starts = np.zeros((B, kx), np.int32)
+        self.ends = np.zeros((B, kx), np.int32)
+        self.scores = np.zeros((B, kx), np.int32)
+        self.starts[wmask] = wd[0, :wtotal] >> 16
+        self.ends[wmask] = wd[0, :wtotal] & 0xFFFF
+        self.scores[wmask] = wd[1, :wtotal]
+        self.n_socs = wcnt.astype(np.int32)
 
 
 def feasible_socs(
@@ -220,7 +354,7 @@ def compute_sv_jumps_batch(
         # enqueue the NEXT chunk's device stage before syncing this one:
         # its compute overlaps this chunk's download + host enumeration
         pending = _dispatch(starts[idx + 1]) if idx + 1 < len(starts) else None
-        soc = SocHost(dev)
+        soc = SocHost(dev, min_nt=min_nt_in_soc)
         B = len(chunk)
         if use_native:
             oq, ol, orr, ofw, ont, cnt = sv_enum_native.enumerate_batch(

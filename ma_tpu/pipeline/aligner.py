@@ -37,7 +37,7 @@ from ma_tpu.containers.pack import Pack
 from ma_tpu.index.fmd_index import FMDIndex
 from ma_tpu.io.sam import SamWriter
 from ma_tpu.ops.extract import extract_seeds
-from ma_tpu.ops.harmonize import HarmBatch, compact_harm, harmonization
+from ma_tpu.ops.harmonize import HarmBatch, harmonization
 from ma_tpu.ops.occ import FMDDev
 from ma_tpu.ops.seeding import max_spanning_seeding, smem_seeding
 from ma_tpu.ops.soc import SoCBatch, soc_collect
@@ -160,69 +160,99 @@ class DeviceStageConfig:
         )
 
 
-def _harm_pack_core(harm: HarmBatch, overflow=None):
+def _harm_pack_core(harm: HarmBatch, overflow=None, max_sets: int = 0):
     """Device-side CSR compaction of a HarmBatch for the host transfer.
 
     The tunnel moves ~30 MB/s, so the raw [B, G, M] seed planes (~26 MB per
     batch) were a hidden serial cost. Valid seeds of valid sets are
-    scattered into one flat [3, B*G*M] buffer in (b, g, m) row-major order;
+    compacted into one flat [3, B*G*M] buffer in (b, g, m) row-major order;
     the host downloads per-set counts (small) plus only the populated
-    prefix (~0.5 MB) and reconstructs per-set slices from the counts."""
+    prefix (~0.5 MB) and reconstructs per-set slices from the counts.
+
+    `max_sets` > 0 also folds the old compact_harm step in here: only the
+    first max_sets VALID sets per read survive (same truncation the gather-
+    based compact_harm applied), and the meta rows are emitted compacted to
+    [B, max_sets]. Doing it in the pack's own sort is ~50 ms cheaper per
+    4096-read batch than compact_harm's middle-axis take_along_axis gathers
+    plus a 786k-update scatter (profiling/profile_stage_r5.py)."""
     B, G, M = harm.q_start.shape
     N = B * G * M
     GM = G * M
-    seed_ok = harm.valid & harm.set_valid[:, :, None]
-    # scatter cost on TPU scales with the UPDATE count, not the real seed
-    # count — so compact each read's valid seeds to a row prefix first (one
-    # cheap minor-axis sort; stability keeps the required (g, m) order) and
-    # scatter only a small fixed width W per read. Rows with more than W
-    # valid seeds (rare) take the full-width branch of the cond.
+    set_ok = harm.set_valid
+    if max_sets and max_sets < G:
+        # rank valid sets per read; drop ranks >= max_sets (compact_harm's
+        # truncation, previously applied after a reorder-to-front)
+        rank = jnp.cumsum(set_ok.astype(jnp.int32), axis=1) - 1
+        set_ok = set_ok & (rank < max_sets)
+    G_out = min(max_sets, G) if max_sets else G
+    seed_ok = harm.valid & set_ok[:, :, None]
+    # compact each read's valid seeds to a row prefix with ONE minor-axis
+    # sort (stability keeps the required (g, m) order) ...
     ok2 = seed_ok.reshape(B, GM)
     col = jnp.broadcast_to(jnp.arange(GM, dtype=jnp.int32)[None, :], (B, GM))
     key = jnp.where(ok2, col, jnp.int32(GM))
-    _, cq, cl, cr = jax.lax.sort(
-        (key, harm.q_start.reshape(B, GM), harm.length.reshape(B, GM),
-         harm.ref_start.reshape(B, GM)),
+    # (q_start, length) both fit 16 bits (L <= 32k): ship them packed in one
+    # int32 plane — one fewer sort operand here AND 1/3 fewer d2h bytes (the
+    # tunnel is the pipeline's bottleneck; see plan_batch's unpack)
+    ql = (harm.q_start.astype(jnp.int32) << 16) | harm.length.astype(jnp.int32)
+    _, cql, cr = jax.lax.sort(
+        (key, ql.reshape(B, GM), harm.ref_start.reshape(B, GM)),
         num_keys=1, is_stable=True,
     )
     cnt = ok2.sum(axis=1, dtype=jnp.int32)
-    base = jnp.cumsum(cnt) - cnt  # global CSR offsets in (b, g, m) order
 
-    def _scatter(width):
+    # ... then compact across reads with ONE flat stable sort by the valid
+    # bit: it moves every valid prefix entry to the buffer front in (b, w)
+    # order == global CSR order. A scatter here costs ~30 ms (TPU scatters
+    # serialize on the update count); the flat sort is ~1 ms. The common
+    # branch sorts only a fixed W-wide prefix per read; rows with more
+    # than W valid seeds (rare: repetitive reads) take the full width.
+    def _compact(width):
         def go(_):
             w = jnp.arange(width, dtype=jnp.int32)[None, :]
-            dest = jnp.where(w < cnt[:, None], base[:, None] + w, N).reshape(-1)
-            out = jnp.zeros((3, N), jnp.int32)
-            for k, plane in enumerate((cq, cl, cr)):
-                out = out.at[k, dest].set(
-                    plane[:, :width].reshape(-1), mode="drop"
+            validf = (w < cnt[:, None]).reshape(-1)
+            fkey = jnp.where(validf, jnp.int32(0), jnp.int32(1))
+            _, sql, sr = jax.lax.sort(
+                (
+                    fkey,
+                    cql[:, :width].reshape(-1),
+                    cr[:, :width].reshape(-1),
+                ),
+                num_keys=1,
+                is_stable=True,
+            )
+            out = jnp.stack([sql, sr])
+            if width * B < N:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((2, N - width * B), jnp.int32)], axis=1
                 )
             return out
 
         return go
 
     W = min(GM, 64)
-    out = jax.lax.cond(jnp.any(cnt > W), _scatter(GM), _scatter(W), None)
+    out = jax.lax.cond(jnp.any(cnt > W), _compact(GM), _compact(W), None)
     n_seeds = seed_ok.sum(axis=2, dtype=jnp.int32)
     if overflow is None:
         overflow = jnp.zeros((B,), bool)
-    # int16 halves the d2h bytes (every field fits: set_valid/overflow are
-    # 0/1, soc_of < max_socs, n_seeds <= seeds_per_soc <= 2048)
-    meta = jnp.stack(
-        [
-            harm.set_valid.astype(jnp.int16).reshape(B * G),
-            harm.soc_of.astype(jnp.int16).reshape(B * G),
-            n_seeds.astype(jnp.int16).reshape(B * G),
-            # row 3: per-read capacity-overflow flag (seed slots, minimizer
-            # lanes, or a SoC window wider than seeds_per_soc) broadcast
-            # over the set axis — the host counts these so fixed-shape
-            # truncation is observable (ADVICE r3)
-            jnp.broadcast_to(
-                overflow.astype(jnp.int16)[:, None], (B, G)
-            ).reshape(B * G),
-        ]
+    # ONE int32 word per set (the old 4 x int16 rows were 256 KB/batch over
+    # a ~5 MB/s tunnel): bit0 = set_valid, bit1 = per-read capacity-overflow
+    # flag (seed slots, minimizer lanes, or a SoC window wider than
+    # seeds_per_soc — the host counts these so fixed-shape truncation is
+    # observable, ADVICE r3), bits2-9 = soc_of (< 256), bits10+ = n_seeds
+    mw = (
+        set_ok.astype(jnp.int32)
+        | (overflow.astype(jnp.int32)[:, None] << 1)
+        | (harm.soc_of.astype(jnp.int32) << 2)
+        | (n_seeds << 10)
     )
-    return out, meta
+    if G_out < G:
+        # compact the per-set meta words to [B, G_out] (valid sets first,
+        # original order preserved) with one cheap [B, G] minor sort
+        key2 = jnp.where(set_ok, jnp.int32(0), jnp.int32(1))
+        _, mw = jax.lax.sort((key2, mw), num_keys=1, is_stable=True)
+        mw = mw[:, :G_out]
+    return out, mw.reshape(B * G_out)
 
 
 # standalone jitted variant (used when a HarmBatch arrives without its
@@ -306,9 +336,10 @@ def device_stage_from_seeds(
         min_delta_dist=cfg.min_delta_dist,
         n_cand=cfg.n_cand,
     )
-    ch = compact_harm(harm, cfg.max_out_sets)
-    data, meta = _harm_pack_core(ch, _batch_overflow(cfg, soc))
-    return ch, soc, data, meta
+    data, meta = _harm_pack_core(
+        harm, _batch_overflow(cfg, soc), cfg.max_out_sets
+    )
+    return harm, soc, data, meta
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -372,9 +403,10 @@ def device_stage_mm(
         min_delta_dist=cfg.min_delta_dist,
         n_cand=cfg.n_cand,
     )
-    ch = compact_harm(harm, cfg.max_out_sets)
-    data, meta = _harm_pack_core(ch, _batch_overflow(cfg, soc))
-    return ch, soc, data, meta
+    data, meta = _harm_pack_core(
+        harm, _batch_overflow(cfg, soc), cfg.max_out_sets
+    )
+    return harm, soc, data, meta
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -437,9 +469,10 @@ def device_stage(
         min_delta_dist=cfg.min_delta_dist,
         n_cand=cfg.n_cand,
     )
-    ch = compact_harm(harm, cfg.max_out_sets)
-    data, meta = _harm_pack_core(ch, _batch_overflow(cfg, soc))
-    return ch, soc, data, meta
+    data, meta = _harm_pack_core(
+        harm, _batch_overflow(cfg, soc), cfg.max_out_sets
+    )
+    return harm, soc, data, meta
 
 
 class Aligner:
@@ -573,7 +606,19 @@ class Aligner:
         nbit = ((nm[:, :, None] >> sh1) & 1).reshape(B, L)
         return jnp.where(nbit != 0, jnp.uint8(4), codes).astype(jnp.uint8)
 
-    def _upload_codes(self, seqs: np.ndarray):
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _unpack_codes_nolens(pk, lens, L: int):
+        """N-free fast path: padding (the only N source) is recovered from
+        the read lengths on device, so the N-bitmask (L/8 bytes/read, all
+        marking padding) never crosses the tunnel — 1/3 of the h2d bytes."""
+        B = pk.shape[0]
+        sh2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+        codes = ((pk[:, :, None] >> sh2) & 3).reshape(B, L)
+        pad = jnp.arange(L, dtype=jnp.int32)[None, :] >= lens[:, None]
+        return jnp.where(pad, jnp.uint8(4), codes).astype(jnp.uint8)
+
+    def _upload_codes(self, seqs: np.ndarray, lens: np.ndarray = None):
         """Host 2-bit pack + device unpack; falls back to a raw upload for
         lengths that don't pack cleanly."""
         B, L = seqs.shape
@@ -586,7 +631,16 @@ class Aligner:
             | (base[:, 2::4] << 4)
             | (base[:, 3::4] << 6)
         )
-        nm = np.packbits((seqs >= 4), axis=1, bitorder="little")
+        isn = seqs >= 4
+        if lens is not None:
+            # reads almost never contain in-read Ns; when none do, the mask
+            # is derivable from lens and stays on the host
+            inread_n = isn & (np.arange(L)[None, :] < np.asarray(lens)[:, None])
+            if not inread_n.any():
+                return self._unpack_codes_nolens(
+                    jnp.asarray(pk), jnp.asarray(lens, np.int32), L
+                )
+        nm = np.packbits(isn, axis=1, bitorder="little")
         return self._unpack_codes(jnp.asarray(pk), jnp.asarray(nm), L)
 
     def run_device_stage(self, seqs: np.ndarray, lens: np.ndarray):
@@ -600,7 +654,7 @@ class Aligner:
         cfg = DeviceStageConfig.from_params(
             self.pset, seqs.shape[1], cap_boost=self.cap_boost
         )
-        seqs_j = self._upload_codes(seqs)
+        seqs_j = self._upload_codes(seqs, lens)
         lens_j = jnp.asarray(lens, jnp.int32)
         if cfg.seeding_technique == "minimizers":
             out = device_stage_mm(
@@ -676,16 +730,19 @@ class Aligner:
         with stage_timer(self.profiler, "device stage wait"):
             if data_d is None:
                 data_d, meta_d = _harm_pack(harm)
-            meta = np.asarray(meta_d)
-            B, G, M = harm.q_start.shape
-            hsv = meta[0].reshape(B, G).astype(bool)
-            hsoc = meta[1].reshape(B, G).astype(np.int32)
-            hn = meta[2].reshape(B, G).astype(np.int32)
-            if meta.shape[0] > 3:  # overflow consumer (ADVICE r3)
-                oflags = meta[3].reshape(B, G)[:, 0].astype(bool)
-                nw.overflow_flags = oflags
-                if not self._in_rescue:
-                    self.n_overflow_reads += int(oflags.sum())
+            # meta word: bit0 valid, bit1 overflow, bits2-9 soc_of,
+            # bits10+ n_seeds (see _harm_pack_core)
+            mw = np.asarray(meta_d).reshape(-1)
+            B = harm.q_start.shape[0]
+            G = mw.size // B
+            mw = mw.reshape(B, G)
+            hsv = (mw & 1).astype(bool)
+            hsoc = ((mw >> 2) & 255).astype(np.int32)
+            hn = (mw >> 10).astype(np.int32)
+            oflags = ((mw[:, 0] >> 1) & 1).astype(bool)  # ADVICE r3 consumer
+            nw.overflow_flags = oflags
+            if not self._in_rescue:
+                self.n_overflow_reads += int(oflags.sum())
             total = int(hn.sum())
             if data_head is not None and total <= data_head.shape[1]:
                 # common case: the fixed-cap prefix whose d2h copy was
@@ -699,7 +756,8 @@ class Aligner:
                     cap *= 2
                 cap = min(cap, data_d.shape[1])
                 hqlr = np.asarray(data_d[:, :cap])
-        hq, hl, hr = hqlr[0], hqlr[1], hqlr[2]
+        # data row0 = q_start << 16 | length, row1 = ref_start
+        hq, hl, hr = hqlr[0] >> 16, hqlr[0] & 0xFFFF, hqlr[1]
         if seqs_np is not None and nw.desc_mode and self._use_native_finish():
             out = self._plan_native(
                 reads, nw, seqs_np, hq, hl, hr, hn, hsv, hsoc
@@ -1203,16 +1261,21 @@ class Aligner:
             if progress is not None and progress(n) is False:
                 raise KeyboardInterrupt("alignment cancelled by progress callback")
 
-        # 3-phase software pipeline: plan(k) dispatches DP(k) BEFORE the
-        # device stage of batch k+1 is enqueued, so the device queue is
-        # [stage k][DP k][stage k+1][DP k+1]... and host assembly of batch k
-        # overlaps the device stage of batch k+1.
+        # 3-phase software pipeline, device-first: stage k+1 is ENQUEUED
+        # before the blocking wait on stage k's outputs, so the device queue
+        # is [stage k][stage k+1][DP k][stage k+2][DP k+1]... and the chip
+        # works through stage k+1 while the host downloads batch k's meta
+        # over the tunnel and plans its DP problems. (The old order —
+        # plan(k) then launch(k+1) — left the chip idle for the whole
+        # download+planning window: measured 228 ms/batch wall against
+        # ~108 ms of device work at the 1 Mbp flagship config.)
         pending = None  # device stage in flight
         planned = None  # DP in flight
         def rotate(next_bucket):
             nonlocal pending, planned
+            new_pending = launch(next_bucket) if next_bucket is not None else None
             new_planned = plan(pending) if pending is not None else None
-            pending = launch(next_bucket) if next_bucket is not None else None
+            pending = new_pending
             if planned is not None:
                 collect(planned)
             planned = new_planned
