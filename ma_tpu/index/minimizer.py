@@ -284,6 +284,12 @@ class MinimizerIndex:
     hash_sorted: np.ndarray  # uint32 [n]
     pos: np.ndarray  # int32 [n]
     strand: np.ndarray  # int32 [n]
+    # memoized device form: the CHD build + HBM upload of a genome-scale
+    # index costs seconds over the tunnel — callers (MSV pipeline, repeated
+    # CLI runs under --Serve) must not pay it per invocation
+    _dev: tuple = dataclasses.field(  # (MA_TPU_MM_CHD value, device form)
+        default=None, repr=False, compare=False
+    )
 
     @classmethod
     def build(cls, pack: Pack, k: int = 15, w: int = 10) -> "MinimizerIndex":
@@ -309,6 +315,14 @@ class MinimizerIndex:
         return cls(k=k, w=w, hash_sorted=h[order], pos=p[order], strand=s[order])
 
     def to_device(self) -> MinimizerIndexDev:
+        key = os.environ.get("MA_TPU_MM_CHD", "1")
+        if self._dev is not None and self._dev[0] == key:
+            return self._dev[1]
+        dev = self._to_device_uncached()
+        object.__setattr__(self, "_dev", (key, dev))
+        return dev
+
+    def _to_device_uncached(self) -> MinimizerIndexDev:
         # deduplicate: the device search runs over unique hashes, occurrence
         # ranges come from uoff (see MinimizerIndexDev docstring)
         n = len(self.hash_sorted)

@@ -56,8 +56,15 @@ def sv_seed_stage(mmi_dev, contig_starts, ref_len_forward, seqs, lens,
                   min_seed_len: int = 18):
     """Device stage: minimizer seeds -> lumping -> min length (the
     MMFilteredSeeding + SeedLumping part of computeSvJumps.py:52-86)."""
+    from ma_tpu.pipeline.aligner import upload_codes_packed
+
+    seqs_j = (
+        upload_codes_packed(seqs, lens)
+        if isinstance(seqs, np.ndarray)
+        else jnp.asarray(seqs)
+    )
     return _sv_seed_run(k, w, max_occ, min_seed_len, mmi_dev, contig_starts,
-                        ref_len_forward, jnp.asarray(seqs),
+                        ref_len_forward, seqs_j,
                         jnp.asarray(lens, jnp.int32))
 
 
@@ -332,9 +339,18 @@ def compute_sv_jumps_batch(
     total = 0
     qlens: List[int] = []
     read_ids: List[int] = []
+    import time as _time
+
+    prof = os.environ.get("MA_TPU_SV_PROFILE")
+    t_disp = t_soc = t_enum = 0.0
+
     def _dispatch(s):
         chunk = reads[s : s + batch]
-        B = len(chunk)
+        # pad a trailing partial chunk to the full batch shape: a fresh B
+        # recompiles the whole seed stage (~30 s on the tunnel) for one
+        # chunk. Padding rows are empty reads (len 0 -> no seeds -> no
+        # windows -> zero counts).
+        B = batch if len(reads) > batch else len(chunk)
         L = 32
         while L < max(len(r) for r in chunk):
             L *= 2
@@ -348,18 +364,26 @@ def compute_sv_jumps_batch(
         return s, chunk, seqs, lens, dev
 
     starts = list(range(0, len(reads), batch))
+    t0 = _time.perf_counter()
     pending = _dispatch(starts[0]) if starts else None
+    t_first = _time.perf_counter() - t0
     for idx in range(len(starts)):
         s, chunk, seqs, lens, dev = pending
         # enqueue the NEXT chunk's device stage before syncing this one:
         # its compute overlaps this chunk's download + host enumeration
+        t0 = _time.perf_counter()
         pending = _dispatch(starts[idx + 1]) if idx + 1 < len(starts) else None
+        t1 = _time.perf_counter()
         soc = SocHost(dev, min_nt=min_nt_in_soc)
+        t2 = _time.perf_counter()
+        t_disp += t1 - t0
+        t_soc += t2 - t1
         B = len(chunk)
         if use_native:
             oq, ol, orr, ofw, ont, cnt = sv_enum_native.enumerate_batch(
                 soc, seqs, lens, pack, min_nt_in_soc, soc_height, do_reseed,
             )
+            t_enum += _time.perf_counter() - t2
             col_q.append(oq)
             col_l.append(ol)
             col_r.append(orr)
@@ -401,6 +425,7 @@ def compute_sv_jumps_batch(
             read_off.append(total)
             qlens.append(len(chunk[b]))
             read_ids.append(s + b)
+    t_tail0 = _time.perf_counter()
     cat = lambda xs, dt: (
         np.concatenate(xs) if xs else np.zeros(0, dt)
     )
@@ -420,6 +445,16 @@ def compute_sv_jumps_batch(
             ]
             for i in range(len(read_ids))
         }
+    if prof:
+        import sys as _sys
+
+        print(
+            f"# sv phases: first_dispatch {t_first:.1f}s "
+            f"dispatch {t_disp:.1f}s soc_download {t_soc:.1f}s "
+            f"enumerate {t_enum:.1f}s "
+            f"jumps_csr {_time.perf_counter() - t_tail0:.1f}s",
+            file=_sys.stderr, flush=True,
+        )
     return jb
 
 

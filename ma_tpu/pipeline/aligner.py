@@ -260,6 +260,58 @@ def _harm_pack_core(harm: HarmBatch, overflow=None, max_sets: int = 0):
 _harm_pack = jax.jit(_harm_pack_core)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _unpack_codes_mask(pk, nm, L: int):
+    """[B, L/4] 2-bit-packed bases + [B, L/8] N-bitmask -> [B, L] uint8
+    codes (0-3, 4 = N). The tunnel moves ~30 MB/s: shipping reads packed
+    cuts the per-batch h2d from L to 0.375*L bytes/read."""
+    B = pk.shape[0]
+    sh2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    codes = ((pk[:, :, None] >> sh2) & 3).reshape(B, L)
+    sh1 = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    nbit = ((nm[:, :, None] >> sh1) & 1).reshape(B, L)
+    return jnp.where(nbit != 0, jnp.uint8(4), codes).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _unpack_codes_nolens(pk, lens, L: int):
+    """N-free fast path: padding (the only N source) is recovered from the
+    read lengths on device, so the N-bitmask (L/8 bytes/read, all marking
+    padding) never crosses the tunnel — 1/3 of the h2d bytes."""
+    B = pk.shape[0]
+    sh2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    codes = ((pk[:, :, None] >> sh2) & 3).reshape(B, L)
+    pad = jnp.arange(L, dtype=jnp.int32)[None, :] >= lens[:, None]
+    return jnp.where(pad, jnp.uint8(4), codes).astype(jnp.uint8)
+
+
+def upload_codes_packed(seqs: np.ndarray, lens: np.ndarray = None):
+    """Host 2-bit pack + device unpack (shared by the aligner and the MSV
+    seed stage); falls back to a raw upload for lengths that don't pack
+    cleanly."""
+    B, L = seqs.shape
+    if L % 8:
+        return jnp.asarray(seqs)
+    base = (seqs & 3).astype(np.uint8)
+    pk = (
+        base[:, 0::4]
+        | (base[:, 1::4] << 2)
+        | (base[:, 2::4] << 4)
+        | (base[:, 3::4] << 6)
+    )
+    isn = seqs >= 4
+    if lens is not None:
+        # reads almost never contain in-read Ns; when none do, the mask is
+        # derivable from lens and stays on the host
+        inread_n = isn & (np.arange(L)[None, :] < np.asarray(lens)[:, None])
+        if not inread_n.any():
+            return _unpack_codes_nolens(
+                jnp.asarray(pk), jnp.asarray(lens, np.int32), L
+            )
+    nm = np.packbits(isn, axis=1, bitorder="little")
+    return _unpack_codes_mask(jnp.asarray(pk), jnp.asarray(nm), L)
+
+
 
 def _batch_overflow(cfg, soc):
     """Per-read overflow flag: any upstream fixed-shape overflow (seed
@@ -593,55 +645,8 @@ class Aligner:
     # ----------------------------------------------------------------- device
     DATA_HEAD_CAP = 8192  # packed-seed prefix shipped eagerly per batch
 
-    @staticmethod
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _unpack_codes(pk, nm, L: int):
-        """[B, L/4] 2-bit-packed bases + [B, L/8] N-bitmask -> [B, L] uint8
-        codes (0-3, 4 = N). The tunnel moves ~30 MB/s: shipping reads
-        packed cuts the per-batch h2d from L to 0.375*L bytes/read."""
-        B = pk.shape[0]
-        sh2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
-        codes = ((pk[:, :, None] >> sh2) & 3).reshape(B, L)
-        sh1 = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
-        nbit = ((nm[:, :, None] >> sh1) & 1).reshape(B, L)
-        return jnp.where(nbit != 0, jnp.uint8(4), codes).astype(jnp.uint8)
-
-    @staticmethod
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _unpack_codes_nolens(pk, lens, L: int):
-        """N-free fast path: padding (the only N source) is recovered from
-        the read lengths on device, so the N-bitmask (L/8 bytes/read, all
-        marking padding) never crosses the tunnel — 1/3 of the h2d bytes."""
-        B = pk.shape[0]
-        sh2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
-        codes = ((pk[:, :, None] >> sh2) & 3).reshape(B, L)
-        pad = jnp.arange(L, dtype=jnp.int32)[None, :] >= lens[:, None]
-        return jnp.where(pad, jnp.uint8(4), codes).astype(jnp.uint8)
-
     def _upload_codes(self, seqs: np.ndarray, lens: np.ndarray = None):
-        """Host 2-bit pack + device unpack; falls back to a raw upload for
-        lengths that don't pack cleanly."""
-        B, L = seqs.shape
-        if L % 8:
-            return jnp.asarray(seqs)
-        base = (seqs & 3).astype(np.uint8)
-        pk = (
-            base[:, 0::4]
-            | (base[:, 1::4] << 2)
-            | (base[:, 2::4] << 4)
-            | (base[:, 3::4] << 6)
-        )
-        isn = seqs >= 4
-        if lens is not None:
-            # reads almost never contain in-read Ns; when none do, the mask
-            # is derivable from lens and stays on the host
-            inread_n = isn & (np.arange(L)[None, :] < np.asarray(lens)[:, None])
-            if not inread_n.any():
-                return self._unpack_codes_nolens(
-                    jnp.asarray(pk), jnp.asarray(lens, np.int32), L
-                )
-        nm = np.packbits(isn, axis=1, bitorder="little")
-        return self._unpack_codes(jnp.asarray(pk), jnp.asarray(nm), L)
+        return upload_codes_packed(seqs, lens)
 
     def run_device_stage(self, seqs: np.ndarray, lens: np.ndarray):
         """Run the jitted device stage on a [B, L] batch of codes.
