@@ -104,6 +104,32 @@ class Alignment:
         else:
             self.data.append((op, size))
 
+    def append_mm_runs(self, first_is_match: bool, lens) -> None:
+        """Append alternating MATCH/MISMATCH runs in one call — the
+        vectorized form of the per-run append loop in NWAligner's
+        _append_cigar (a 20 kb read at 5% error produces ~4k runs; one
+        Python append each was 35% of the long-read batch wall)."""
+        import numpy as _np
+
+        lens_i = _np.asarray(lens, _np.int64)
+        n = len(lens_i)
+        if n == 0:
+            return
+        total = int(lens_i.sum())
+        m_total = int(lens_i[0 if first_is_match else 1 :: 2].sum())
+        self.iscore += self._m * m_total - self._mm * (total - m_total)
+        self.end_on_ref += total
+        self.end_on_query += total
+        ops = [
+            MATCH if ((i % 2 == 0) == first_is_match) else MISMATCH
+            for i in range(n)
+        ]
+        i0 = 0
+        if self.data and self.data[-1][0] == ops[0]:
+            self.data[-1] = (ops[0], self.data[-1][1] + int(lens_i[0]))
+            i0 = 1
+        self.data.extend(zip(ops[i0:], lens_i[i0:].tolist()))
+
     def score(self) -> int:
         return self.iscore
 

@@ -557,9 +557,13 @@ def _dp_desc_runs_fused(text, seqs, desc, M, N, params, zdrop, is_global,
     # no TPU -> Pallas interpret mode (CPU tests of the fused path)
     interpret = interpret or jax.default_backend() == "cpu"
     q, t, q_len, t_len, band = _desc_operands(text, seqs, desc, M, N)
+    # run capacity scales with the query bucket: 256-base problems on noisy
+    # long reads carry ~2 runs per indel event (5% error ~ 26 events), so
+    # R=32 overflowed ~12 problems per 32-read batch into the host fallback
+    R = 32 if M <= 64 else 96
     runs, meta = banded_align_runs(
         q, t, q_len, t_len, band, M=M, N=N, params=params, zdrop=zdrop,
-        is_global=is_global, interpret=interpret, tb_last=tb_last,
+        is_global=is_global, interpret=interpret, tb_last=tb_last, R=R,
     )
     runs_t = jnp.transpose(runs)
     # packed run values are <= 4*(M+N)+3 and meta fields are tiny once

@@ -1072,7 +1072,8 @@ def _state_dtype(M: int, N: int, params: DPParams):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("M", "N", "params", "zdrop", "is_global", "interpret"),
+    static_argnames=("M", "N", "params", "zdrop", "is_global", "interpret",
+                     "R"),
 )
 def banded_align_runs(
     q: jax.Array,  # [P, M] int32/uint8 query codes
@@ -1088,6 +1089,9 @@ def banded_align_runs(
     is_global: bool = True,
     interpret: bool = False,
     tb_last=None,  # optional [P] flags: trace from the last row's best cell
+    R: int = MAX_RUNS,  # per-problem run capacity (overflow lanes flagged;
+    # 32 covers short-read problems, long-read 256-base chunks at ~5 percent
+    # error need ~2 runs per indel event -> callers pass 96)
 ):
     """Fused DP + traceback. Returns (runs [P, R] int32 packed op+4*len in
     back-to-front order, meta [8, P] int32: n_runs, score, max_i, max_j,
@@ -1139,7 +1143,6 @@ def banded_align_runs(
     meta = jnp.concatenate([meta, jnp.zeros((Pp, 4), jnp.int32)], axis=1)
 
     grid = (Pp // PB,)
-    R = MAX_RUNS
     if use_v2:
         kern = functools.partial(
             _kernel_v2, M=M, N=N, R=R, TJ=TJ2, params=params, zdrop=zdrop,

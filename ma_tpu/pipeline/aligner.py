@@ -731,6 +731,8 @@ class Aligner:
             self.pack, self.nw_cfg, profiler=self.profiler,
             text_dev=self.text_dev if seqs_dev is not None else None,
             seqs_dev=seqs_dev,
+            text_host=self.text_host if seqs_dev is not None else None,
+            seqs_np=seqs_np,
         )
         with stage_timer(self.profiler, "device stage wait"):
             if data_d is None:

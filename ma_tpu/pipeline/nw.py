@@ -104,7 +104,8 @@ class NWAligner:
     """Batched gap-filling / extension DP for harmonized seed sets."""
 
     def __init__(self, pack: Pack, config: NWConfig | None = None,
-                 profiler=None, text_dev=None, seqs_dev=None):
+                 profiler=None, text_dev=None, seqs_dev=None,
+                 text_host=None, seqs_np=None):
         self.pack = pack
         self.cfg = config or NWConfig()
         self._problems: List[DPProblem] = []
@@ -114,6 +115,11 @@ class NWAligner:
         # through the ~25 MB/s tunnel)
         self.text_dev = text_dev
         self.seqs_dev = seqs_dev
+        # host copies (when the caller has them): the redo fallback reads
+        # operands from these instead of paying a tunnel round trip per
+        # device slice
+        self.text_host = text_host
+        self.seqs_np = seqs_np
         self._read_idx = -1  # set by plan_set in descriptor mode
         self._launched = None  # dispatched device calls awaiting collect
 
@@ -484,6 +490,7 @@ class NWAligner:
         from ma_tpu.utils.profile import stage_timer
 
         fused_list = [e for e in launched if e[3]]
+        redo_items: List[tuple] = []  # (prob_idx, is_global) overflow redos
         comb_np = None
         comb_off = {}
         if fused_list:
@@ -529,9 +536,13 @@ class NWAligner:
                     cigars = packed_runs_to_cigars(runs_t, n_runs[:K])
                     for k in range(K):
                         if cigars[k] is None or meta[5][k]:
-                            cigars[k] = self._redo_one(
-                                idxs[k], is_global
-                            )
+                            # deferred to ONE bucketed rows-path call after
+                            # all buckets land: per-problem redo paid a CPU
+                            # compile + two tunnel slices each (~0.9 s;
+                            # 12 redos were 10.7 s of a 16 s long-read
+                            # batch)
+                            redo_items.append((idxs[k], is_global))
+                            cigars[k] = None
                 elif self.desc_mode:
                     ops_d, meta_d, run_op_d, run_start_d, n_runs_d = out
                     meta = np.asarray(meta_d)
@@ -571,6 +582,75 @@ class NWAligner:
                 else:
                     p.max_i, p.max_j = int(max_i[k]), int(max_j[k])
                     p.cigar = cigars[k] if p.max_i >= 0 else []
+        if redo_items:
+            with stage_timer(self.profiler, "dp redo batched"):
+                self._redo_batched(redo_items)
+
+    def _redo_batched(self, items):
+        """Overflow fallback, batched: all fused-kernel rows whose run
+        buffer overflowed (cigar None / meta overflow bit) re-run through
+        the XLA rows path on the host CPU device in a few bucketed calls.
+        Operands come from the host copies when available. p.max_i/p.max_j
+        keep the fused forward pass's values (set by the caller) — only the
+        cigar is recomputed, exactly as the old per-problem redo ended up
+        doing."""
+        import jax as _jax
+
+        from ma_tpu.ops.dp import banded_align_traceback_packed, rle_ops
+
+        probs = []
+        for prob_idx, is_global in items:
+            p = self._problems[prob_idx]
+            if p.q is not None:
+                q, t = p.q, p.t
+            else:
+                if self.seqs_np is not None:
+                    q = self.seqs_np[p.read_idx, p.q_off : p.q_off + p.q_len]
+                else:
+                    q = np.asarray(self.seqs_dev[p.read_idx])[
+                        p.q_off : p.q_off + p.q_len
+                    ]
+                if p.q_rev:
+                    q = q[::-1]
+                if self.text_host is not None:
+                    t = self.text_host[p.t_start : p.t_start + p.t_len]
+                else:
+                    t = np.asarray(
+                        self.text_dev[p.t_start : p.t_start + p.t_len]
+                    )
+                if p.t_rev:
+                    t = t[::-1]
+            probs.append((p, q, t, is_global))
+        groups: Dict[tuple, list] = {}
+        for it in probs:
+            p, q, t, g = it
+            M = _next_pow2(max(len(q), 1), lo=64)
+            N = _next_pow2(max(len(t), 1), lo=64)
+            groups.setdefault((g, M, N), []).append(it)
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            for (g, M, N), its in groups.items():
+                P = _next_pow2(len(its), lo=1)
+                qa = np.full((P, M), 4, np.uint8)
+                ta = np.full((P, N), 4, np.uint8)
+                qlen = np.ones(P, np.int32)
+                tlen = np.ones(P, np.int32)
+                band = np.ones(P, np.int32)
+                for k, (p, q, t, _) in enumerate(its):
+                    qa[k, : len(q)] = q
+                    ta[k, : len(t)] = t
+                    qlen[k], tlen[k], band[k] = len(q), len(t), p.band
+                ops, meta = banded_align_traceback_packed(
+                    qa, ta, qlen, tlen, band, params=self.cfg.params,
+                    zdrop=-1 if g else self.cfg.zdrop, is_global=g,
+                )
+                meta = np.asarray(meta)
+                ops = np.asarray(ops)
+                for k, (p, q, t, _) in enumerate(its):
+                    cg = rle_ops(
+                        ops[k], int(meta[0][k]), int(meta[1][k]),
+                        int(meta[2][k]),
+                    )
+                    p.cigar = cg if (g or p.max_i >= 0) else []
 
     # ------------------------------------------------- chunked long-read ext
     CHUNK_M = 256  # query bases per chunk (fused-kernel bucket)
@@ -768,11 +848,12 @@ class NWAligner:
                 qs = np.asarray(query[qpos : qpos + ln])
                 ts = np.asarray(ref[rpos : rpos + ln])
                 eq = (qs == ts) & (qs < 4)
-                # run-length encode the match/mismatch pattern
+                # run-length encode the match/mismatch pattern; one
+                # vectorized append (Alignment.append_mm_runs) per M op
                 change = np.flatnonzero(eq[1:] != eq[:-1]) + 1
                 bounds = np.concatenate(([0], change, [ln]))
-                for s, e in zip(bounds[:-1], bounds[1:]):
-                    aln.append(MATCH if eq[s] else MISMATCH, int(e - s))
+                aln.append_mm_runs(bool(eq[0]) if ln else True,
+                                   np.diff(bounds))
                 qpos += ln
                 rpos += ln
             elif op == OP_I:
