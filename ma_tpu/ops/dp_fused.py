@@ -1037,7 +1037,13 @@ def _pick_pb_v2(M: int, N: int, state_bytes: int = 4) -> int:
 
 def _pick_pb(M: int, N: int, state_bytes: int = 4) -> int:
     """Problems per block: dirs [M, PB, N] int8 + ~12 [PB, N] state planes
-    within a ~10 MB VMEM budget; >= 32 (int8 sublane tile), <= 256."""
+    within a VMEM budget; >= 32 (int8 sublane tile), <= 256.
+    MA_TPU_DP_PB overrides for experiments."""
+    import os as _os
+
+    ov = int(_os.environ.get("MA_TPU_DP_PB", "0"))
+    if ov:
+        return ov
     budget = 10 * 2**20
     per_col = 14 * state_bytes
     pb = 256
