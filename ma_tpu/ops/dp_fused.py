@@ -372,10 +372,277 @@ def _kernel(q_ref, t_ref, meta_ref, runs_ref, mout_ref, dirs_ref, hp_ref,
                 book_ref[:, _DROP : _DROP + 1] = ndrop.astype(jnp.int32)
         return 0
 
+    def book_update(i_row, rowpack, scrrun):
+        """Per-row bookkeeping, reading the CURRENT drop state from the
+        book (so the second row of a fused pair sees the first row's
+        z-drop update)."""
+        dropped = book_ref[:, _DROP : _DROP + 1] != 0
+        not_dropped = ~dropped
+        if is_global:
+            book_ref[:, _SCR : _SCR + 1] = jnp.where(
+                scrrun > NEG, scrrun, book_ref[:, _SCR : _SCR + 1]
+            )
+        if ext_book:
+            gmax = book_ref[:, _GMAX : _GMAX + 1]
+            gi = book_ref[:, _GI : _GI + 1]
+            gj = book_ref[:, _GJ : _GJ + 1]
+            gd = book_ref[:, _GD : _GD + 1]
+            rmax = rowpack >> 11
+            rarg = 2047 - (rowpack & 2047)
+            at_last_row = i_row == m - 1
+            book_ref[:, _LRMAX : _LRMAX + 1] = jnp.where(
+                at_last_row, rmax, book_ref[:, _LRMAX : _LRMAX + 1]
+            )
+            book_ref[:, _LRARG : _LRARG + 1] = jnp.where(
+                at_last_row, rarg, book_ref[:, _LRARG : _LRARG + 1]
+            )
+            upd = (
+                (rmax > gmax)
+                | ((rmax == gmax) & (gi >= 0) & (i_row + rarg < gd))
+            ) & not_dropped & (rmax > SENT)
+            book_ref[:, _GMAX : _GMAX + 1] = jnp.where(upd, rmax, gmax)
+            book_ref[:, _GI : _GI + 1] = jnp.where(upd, i_row, gi)
+            book_ref[:, _GJ : _GJ + 1] = jnp.where(upd, rarg, gj)
+            book_ref[:, _GD : _GD + 1] = jnp.where(upd, i_row + rarg, gd)
+            if zdrop >= 0:
+                gmax2 = book_ref[:, _GMAX : _GMAX + 1]
+                gi2 = book_ref[:, _GI : _GI + 1]
+                gj2 = book_ref[:, _GJ : _GJ + 1]
+                diff = jnp.abs((i_row - gi2) - (rarg - gj2))
+                has = (i_row < m) & (i_row <= n - 1 + w) & (gi2 >= 0)
+                ndrop = dropped | (
+                    has & (gmax2 - rmax > zdrop + diff * ge1)
+                )
+                book_ref[:, _DROP : _DROP + 1] = ndrop.astype(jnp.int32)
+
+    def fwd_row_pair(i):
+        """Rows i and i+1 fused into ONE tile pass: hp/f1/f2 are loaded
+        and stored once per tile for two rows (the state-plane VMEM
+        round trips halve), dirs write as one [2, PB, TJ] store, and the
+        per-row window/carry fixed costs amortize. Row i+1 consumes row
+        i's h/f planes directly from registers. Exactness notes: the
+        row-i+1 row-max accumulator is masked after row i's z-drop
+        update (drop state is per problem, so the correction is exact),
+        and the entry-carry formulas hold for row i+1 at row i's t_lo
+        because lanes left of it are invalid at rows i and i+1 alike."""
+        dropped = book_ref[:, _DROP : _DROP + 1] != 0
+        not_dropped = ~dropped
+        iB = i + 1
+        qcA = _sel_lane(q_ref[:], jnp.full((PB, 1), i, jnp.int32))
+        qcB = _sel_lane(q_ref[:], jnp.full((PB, 1), iB, jnp.int32))
+        qnA = qcA >= 4
+        qnB = qcB >= 4
+        virtA = jnp.where(i > 0, gap_cost(i), NEG_S)
+        virtB = gap_cost(iB)  # iB >= 2 in the pair loop
+
+        t_lo = jnp.maximum(i - w_blk - 1, 0) // TJ
+        j_hi = jnp.minimum(n_blk - 1, iB + w_blk)
+        t_hi = jnp.minimum(j_hi // TJ + 1, n_tiles)
+
+        first0 = t_lo == 0
+        jb = t_lo * TJ
+
+        def entry(virt32):
+            c_hp_fill = splat_s(jnp.where(first0, virt32, NEG_S))
+            c_v1 = splat_s(
+                jnp.where(first0, virt32 - ge1, NEG_S + ge1 * (jb - 1))
+            )
+            c_v2 = splat_s(
+                jnp.where(first0, virt32 - ge2, NEG_S + ge2 * (jb - 1))
+            )
+            c_a1 = splat_s(
+                jnp.where(
+                    first0, NEG_S,
+                    jnp.maximum(virt32 - ge1, NEG_S + ge1 * (jb - 2)),
+                )
+            )
+            c_a2 = splat_s(
+                jnp.where(
+                    first0, NEG_S,
+                    jnp.maximum(virt32 - ge2, NEG_S + ge2 * (jb - 2)),
+                )
+            )
+            return c_hp_fill, c_v1, c_v2, c_a1, c_a2
+
+        cA = entry(virtA)
+        cB = entry(virtB)
+        rp0 = jnp.full((PB, 1), NEG, jnp.int32)
+        sc0 = jnp.full((PB, 1), NEG, jnp.int32)
+
+        def row_step(i_row, qc, qn, h_up, diag, f1p, f2p, carry, j0, jj,
+                     jj_s, tc):
+            (c_v1, c_v2, c_a1, c_a2) = carry
+            valid = (jj < n) & (i_row < m) & (jnp.abs(i_row - jj) <= w)
+            if sdt == jnp.int32:
+                valid_s = valid
+            else:
+                n_s = n.astype(sdt)
+                m_s = m.astype(sdt)
+                w_s = jnp.minimum(w, 1 << 14).astype(sdt)
+                i_s = jnp.broadcast_to(i_row, (PB, 1)).astype(sdt)
+                di_s = (i_row - jj).astype(sdt)
+                valid_s = (jj_s < n_s) & (i_s < m_s) & (jnp.abs(di_s) <= w_s)
+
+            t1 = f1p - ge1
+            t2 = h_up - (go1 + ge1)
+            nf1 = jnp.maximum(t1, t2)
+            cf1 = t1.astype(jnp.int32) >= t2.astype(jnp.int32)
+            t3 = f2p - ge2
+            t4 = h_up - (go2 + ge2)
+            nf2 = jnp.maximum(t3, t4)
+            cf2 = t3.astype(jnp.int32) >= t4.astype(jnp.int32)
+
+            sc32 = jnp.where(
+                qn | (tc >= 4), 0,
+                jnp.where(qc == tc, params.match, -params.mismatch),
+            )
+            hd = diag + sc32.astype(sdt)
+            h0 = jnp.where(
+                valid_s, jnp.maximum(hd, jnp.maximum(nf1, nf2)), NEG_S
+            )
+
+            v1 = _shift_right(h0 + ge1 * jj_s, c_v1)
+            a1 = jnp.maximum(_cummax_lanes(v1), c_a1)
+            e1 = a1 - go1 - ge1 * jj_s
+            ce1 = (
+                _shift_right(a1, c_a1).astype(jnp.int32)
+                >= v1.astype(jnp.int32)
+            )
+            v2 = _shift_right(h0 + ge2 * jj_s, c_v2)
+            a2 = jnp.maximum(_cummax_lanes(v2), c_a2)
+            e2 = a2 - go2 - ge2 * jj_s
+            ce2 = (
+                _shift_right(a2, c_a2).astype(jnp.int32)
+                >= v2.astype(jnp.int32)
+            )
+
+            h32r = hd.astype(jnp.int32)
+            src = jnp.zeros((PB, TJ), jnp.int32)
+            h = hd
+            for cand, code in (
+                (e1, SRC_E1), (nf1, SRC_F1), (e2, SRC_E2), (nf2, SRC_F2)
+            ):
+                c32 = cand.astype(jnp.int32)
+                better = c32 > h32r
+                h32r = jnp.maximum(h32r, c32)
+                h = jnp.maximum(h, cand)
+                src = jnp.where(better, code, src)
+            h = jnp.where(valid_s, h, NEG_S)
+
+            dirbyte = (
+                src
+                | jnp.where(ce1, CONT_E1, 0)
+                | jnp.where(cf1, CONT_F1, 0)
+                | jnp.where(ce2, CONT_E2, 0)
+                | jnp.where(cf2, CONT_F2, 0)
+            )
+            hv = h0[:, TJ - 1 :]
+            lastj = j0 + TJ - 1
+            nc = (
+                hv + ge1 * lastj.astype(sdt),
+                hv + ge2 * lastj.astype(sdt),
+                a1[:, TJ - 1 :],
+                a2[:, TJ - 1 :],
+            )
+            return h, nf1, nf2, dirbyte, valid, nc
+
+        def tile_body(t, carry):
+            (cA_hp, cA_v1, cA_v2, cA_a1, cA_a2,
+             cB_hp, cB_v1, cB_v2, cB_a1, cB_a2,
+             rpA, rpB, scA, scB) = carry
+            j0 = t * TJ
+            jj = jt0 + j0
+            jj_s = jj.astype(sdt)
+            h_prev_t = hp_ref[:, pl.ds(j0, TJ)]
+            f1p = f1_ref[:, pl.ds(j0, TJ)]
+            f2p = f2_ref[:, pl.ds(j0, TJ)]
+            n_hp = h_prev_t[:, TJ - 1 :]
+            tc = t_ref[:, pl.ds(j0, TJ)]
+
+            diagA = _shift_right(h_prev_t, cA_hp)
+            hA, f1A, f2A, dirA, validA, ncA = row_step(
+                i, qcA, qnA, h_prev_t, diagA, f1p, f2p,
+                (cA_v1, cA_v2, cA_a1, cA_a2), j0, jj, jj_s, tc,
+            )
+            diagB = _shift_right(hA, cB_hp)
+            hB, f1B, f2B, dirB, validB, ncB = row_step(
+                iB, qcB, qnB, hA, diagB, f1A, f2A,
+                (cB_v1, cB_v2, cB_a1, cB_a2), j0, jj, jj_s, tc,
+            )
+
+            dirs_ref[pl.ds(i, 2), :, pl.ds(j0, TJ)] = jnp.stack(
+                [dirA, dirB]
+            ).astype(jnp.int8)
+            hp_ref[:, pl.ds(j0, TJ)] = hB
+            f1_ref[:, pl.ds(j0, TJ)] = f1B
+            f2_ref[:, pl.ds(j0, TJ)] = f2B
+
+            if ext_book or is_global:
+                hA32 = jnp.where(validA, hA.astype(jnp.int32), NEG)
+                hB32 = jnp.where(validB, hB.astype(jnp.int32), NEG)
+            if ext_book:
+                hmA = jnp.where(validA & not_dropped, hA32, SENT)
+                rpA = jnp.maximum(
+                    rpA,
+                    jnp.max(hmA * 2048 + (2047 - jj), axis=1, keepdims=True),
+                )
+                hmB = jnp.where(validB & not_dropped, hB32, SENT)
+                rpB = jnp.maximum(
+                    rpB,
+                    jnp.max(hmB * 2048 + (2047 - jj), axis=1, keepdims=True),
+                )
+            if is_global:
+                scA = jnp.maximum(
+                    scA,
+                    jnp.max(
+                        jnp.where(
+                            validA & (jj == n - 1) & (i == m - 1), hA32, NEG
+                        ),
+                        axis=1, keepdims=True,
+                    ),
+                )
+                scB = jnp.maximum(
+                    scB,
+                    jnp.max(
+                        jnp.where(
+                            validB & (jj == n - 1) & (iB == m - 1), hB32, NEG
+                        ),
+                        axis=1, keepdims=True,
+                    ),
+                )
+
+            return (
+                n_hp, ncA[0], ncA[1], ncA[2], ncA[3],
+                hA[:, TJ - 1 :], ncB[0], ncB[1], ncB[2], ncB[3],
+                rpA, rpB, scA, scB,
+            )
+
+        out = jax.lax.fori_loop(
+            t_lo, t_hi, tile_body,
+            (cA[0], cA[1], cA[2], cA[3], cA[4],
+             cB[0], cB[1], cB[2], cB[3], cB[4],
+             rp0, rp0, sc0, sc0),
+        )
+        rpA, rpB, scA, scB = out[10], out[11], out[12], out[13]
+        book_update(i, rpA, scA)
+        if ext_book and zdrop >= 0:
+            # problems dropped by row i's update must not contribute row
+            # i+1's maxima (drop state is per problem)
+            drop2 = book_ref[:, _DROP : _DROP + 1] != 0
+            rpB = jnp.where(drop2, jnp.full_like(rpB, NEG), rpB)
+        book_update(iB, rpB, scB)
+        return 0
+
     fwd_row(jnp.int32(0), True)
+    n_rest = m_max - 1  # rows 1 .. m_max-1 remain
+    n_pairs = n_rest // 2
     jax.lax.fori_loop(
-        1, m_max, lambda i, _: fwd_row(i, False), 0, unroll=False
+        0, n_pairs, lambda k, _: fwd_row_pair(1 + 2 * k), 0, unroll=False
     )
+
+    @pl.when(n_rest % 2 == 1)
+    def _odd_leftover():
+        fwd_row(m_max - 1, False)
 
     import os as _os
 
