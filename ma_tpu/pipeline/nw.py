@@ -497,13 +497,26 @@ class NWAligner:
             with stage_timer(self.profiler, "dp collect fused download"):
                 import jax as _jax2
 
+                # download only the pow2-rounded REAL problem prefix of
+                # each bucket's comb (P is padded to 4096 multiples for
+                # program reuse; the padding columns are dead weight on
+                # the ~5-25 MB/s tunnel). Pow2 widths keep the slice
+                # program count bounded.
+                def _pfx(arr, k):
+                    cap = 512
+                    while cap < k:
+                        cap *= 2
+                    cap = min(cap, arr.shape[1])
+                    return arr[:, :cap]
+
+                sliced = [_pfx(e[2][0], len(e[1])) for e in fused_list]
                 off = 0
-                for e in fused_list:
-                    comb_off[id(e)] = (off, e[2][0].shape[1])
-                    off += e[2][0].shape[1]
+                for e, s in zip(fused_list, sliced):
+                    comb_off[id(e)] = (off, s.shape[1])
+                    off += s.shape[1]
                 # one device_get (an on-device concat would recompile per
                 # bucket combination)
-                parts = _jax2.device_get([e[2][0] for e in fused_list])
+                parts = _jax2.device_get(sliced)
                 comb_np = np.concatenate(
                     [np.asarray(p) for p in parts], axis=1
                 )
@@ -528,9 +541,16 @@ class NWAligner:
                     n_runs = meta[0]
                     smax = int(n_runs[:K].max(initial=0))
                     if smax > RUNS_HEAD:
-                        # rare: some row needs more runs than the combined
-                        # download carries — fetch the full int32 rows
-                        runs_t = np.asarray(out[1][:smax])
+                        # some rows need more runs than the combined
+                        # download carries — fetch the int32 rows, sliced
+                        # to the pow2 run depth x real-problem prefix
+                        # (the full [R, 4096] plane is ~1.5 MB of mostly
+                        # padding on long-read batches)
+                        sp = 16
+                        while sp < smax:
+                            sp *= 2
+                        sp = min(sp, out[1].shape[0])
+                        runs_t = np.asarray(out[1][:sp, :P])
                     else:
                         runs_t = comb[8 : 8 + max(1, smax)]
                     cigars = packed_runs_to_cigars(runs_t, n_runs[:K])
