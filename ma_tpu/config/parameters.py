@@ -172,6 +172,13 @@ class ParameterSet:
         P("Minimizers - bucket_bits", 14, "Minimizer index bucket bits.", "Minimizers")
         P("Minimizers - mini_batch_size", 50000000, "Minimizer mini batch size.", "Minimizers")
         P("Minimizers - batch_size", 4000000000, "Minimizer batch size.", "Minimizers")
+        # the reference hardcodes sdust_thres = 0 (minimizer_index.h:73 —
+        # masking disabled); exposed here so SDUST (ops/sdust.py) is
+        # reachable from the config for repeat-heavy real genomes
+        P("Minimizers - SDUST Threshold", 0,
+          "SDUST low-complexity masking threshold for minimizer queries "
+          "(0 = off, the reference's hardcoded setting; typical: 20).",
+          "Minimizers")
 
         # --- Global DP scoring (GlobalParameter, parameter.h:1014-1046).
         # Kept per-set here for simplicity; values are shared via presets.

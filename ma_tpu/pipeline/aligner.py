@@ -662,9 +662,26 @@ class Aligner:
         seqs_j = self._upload_codes(seqs, lens)
         lens_j = jnp.asarray(lens, jnp.int32)
         if cfg.seeding_technique == "minimizers":
+            seed_seqs_j = seqs_j
+            thres = int(self.pset.get("Minimizers - SDUST Threshold"))
+            if thres > 0:
+                # SDUST query masking (role of mm_dust_minier,
+                # libs/minimizerscpp/src/map.cpp:12-44): low-complexity
+                # spans become N for SEEDING only — the DP still sees the
+                # real bases (seqs_j). The reference ships with this off
+                # (minimizer_index.h:73 sdust_thres = 0).
+                from ma_tpu.ops.sdust import dust_mask_array
+
+                seed_seqs = seqs.copy()
+                for bi in range(len(seqs)):
+                    Lr = int(lens[bi])
+                    if Lr:
+                        msk = dust_mask_array(seqs[bi, :Lr], T=thres)
+                        seed_seqs[bi, :Lr][msk] = 4
+                seed_seqs_j = self._upload_codes(seed_seqs, None)
             out = device_stage_mm(
                 cfg, self.mmi_dev(cfg), self.contig_starts,
-                self.pack.unpacked_size_forward_strand, seqs_j, lens_j,
+                self.pack.unpacked_size_forward_strand, seed_seqs_j, lens_j,
             )
         elif cfg.seeding_technique == "MEMs":
             out = device_stage_from_seeds(

@@ -57,3 +57,39 @@ def test_mask_array():
     codes = enc("CAG" * 30 + "GATCGTACGATCGATTACA")
     m = dust_mask_array(codes)
     assert m[:90].all() and not m[95:].any()
+
+
+def test_dust_parameter_wiring():
+    """'Minimizers - SDUST Threshold' > 0 masks low-complexity query spans
+    for SEEDING only (mm_dust_minier role): a read whose core is a
+    homopolymer run loses the seeds inside that run, while the DP operands
+    keep the real bases so unique flanks still place the read."""
+    import numpy as np
+
+    from ma_tpu.containers.nucseq import NucSeq, decode_seq
+    from ma_tpu.containers.pack import Pack
+    from ma_tpu.index.fmd_index import FMDIndex
+    from ma_tpu.pipeline.aligner import Aligner
+
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, size=40_000).astype(np.uint8)
+    genome[20_000:20_120] = 0  # poly-A island
+    pack = Pack.empty()
+    pack.append("c", genome)
+    fmd = FMDIndex.build(pack)
+
+    p = 19_900
+    read = NucSeq(genome[p : p + 300].copy(), name="r0")
+
+    res = {}
+    for thres in (0, 20):
+        al = Aligner(pack, fmd)
+        al.pset.set("Seeding Technique", "minimizers")
+        al.pset.set("Minimizers - SDUST Threshold", thres)
+        alns = al.align_batch([read])[0]
+        assert alns, f"read lost at threshold {thres}"
+        best = max(alns, key=lambda a: a.score())
+        assert abs(best.begin_on_ref - p) <= 5
+        res[thres] = best.score()
+    # masking only removes seeds; the DP result stays equivalent here
+    assert res[20] >= res[0] - 4
